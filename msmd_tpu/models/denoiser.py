@@ -1,0 +1,178 @@
+"""The MSMD denoising network: a conditional transformer decoder with
+style-basis static/dynamic/alpha decomposition.
+
+Rebuild of the reference denoiser (reference: model.py:820-996):
+- diffusion-step embedding: sinusoidal table row + 2-layer GELU MLP,
+  added to the projected person (shape+style) token
+- motion features (+ optional 0/1 indicator channel) projected to
+  ``feature_dim``; previous-window motion prepended; person token
+  prepended; learnable (or sinusoidal) positional encoding added
+- an N-layer post-LN transformer decoder cross-attending into the audio
+  features with a banded alignment ``memory_mask``
+- a motion-decoder MLP emitting ``motion_feat_dim + num_of_basis``
+  channels; the last ``num_of_basis`` are per-frame alpha weights over
+  ``num_of_basis`` style->static-offset MLPs; the output is
+  dynamic + sum(alpha * static), with the 3 head-pose channels excluded
+  from alpha weighting when ``use_head_alpha`` is False (the MSMD
+  default — reference model.py:17,983-990).
+
+Everything is a fixed-shape batched matmul program: one forward is
+n_layers x (self-attn + cross-attn + FFN) over 1 + L_p + L tokens, which
+XLA maps straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from msmd_tpu.config import MSMDConfig
+from msmd_tpu.models.transformer import TransformerDecoder
+from msmd_tpu.ops.seq import alignment_mask, apply_pe_single_row, sinusoidal_table
+
+
+class DiffusionStepEmbedding(nn.Module):
+    """PE-table row lookup (by timestep) + 2-layer GELU MLP
+    (reference: model.py:855-860, lookup at model.py:931)."""
+
+    feature_dim: int
+    n_diff_steps: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, step: jnp.ndarray) -> jnp.ndarray:
+        table = sinusoidal_table(self.feature_dim, self.n_diff_steps + 1, self.dtype)
+        emb = table[step]  # (N, feature_dim)
+        emb = nn.Dense(self.feature_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear1")(emb)
+        emb = nn.gelu(emb, approximate=False)
+        emb = nn.Dense(self.feature_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear2")(emb)
+        return emb
+
+
+class StyleBasisMLP(nn.Module):
+    """style (N, 1, d_style) -> static motion offset (N, 1, d_motion)
+    (reference: model.py:890-899)."""
+
+    feature_dim: int
+    motion_feat_dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, style: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.feature_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear1")(style)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(self.motion_feat_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear2")(h)
+
+
+class DenoisingNetwork(nn.Module):
+    cfg: MSMDConfig
+    use_head_alpha: bool = False  # MSMD default (reference model.py:17)
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        motion_feat: jnp.ndarray,  # (N, L, d_motion) noisy motion
+        audio_feat: jnp.ndarray,  # (N, L, feature_dim)
+        person_feat: jnp.ndarray,  # (N, 1, d_person)
+        static_style_feat: Optional[jnp.ndarray],  # (N, 1, d_style)
+        prev_motion_feat: jnp.ndarray,  # (N, L_p, d_motion)
+        prev_audio_feat: jnp.ndarray,  # (N, L_p, feature_dim)
+        step: jnp.ndarray,  # (N,) int timesteps
+        indicator: Optional[jnp.ndarray] = None,  # (N, L) 0/1
+        keep_separate: bool = False,
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        d_motion = cfg.motion_feat_dim
+        n_prev, n_cur = prev_motion_feat.shape[1], motion_feat.shape[1]
+
+        # diffusion-step conditioning rides on the person token
+        step_emb = DiffusionStepEmbedding(
+            cfg.feature_dim, cfg.n_diff_steps, self.dtype, self.param_dtype, name="diff_step_map"
+        )(step)[:, None, :]
+        person = nn.Dense(cfg.feature_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="person_proj")(
+            person_feat.astype(self.dtype)
+        )
+        person = person + step_emb
+
+        feats_in = jnp.concatenate([prev_motion_feat, motion_feat], axis=1).astype(self.dtype)
+        if cfg.use_indicator:
+            if indicator is None:
+                indicator = jnp.ones((motion_feat.shape[0], n_cur), self.dtype)
+            ind = jnp.concatenate(
+                [jnp.zeros((indicator.shape[0], n_prev), self.dtype), indicator.astype(self.dtype)], axis=1
+            )[..., None]
+            feats_in = jnp.concatenate([feats_in, ind], axis=-1)
+        feats_in = nn.Dense(cfg.feature_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="feature_proj")(feats_in)
+        feats_in = jnp.concatenate([person, feats_in], axis=1)  # (N, 1 + L_p + L, F)
+
+        if not cfg.no_use_learnable_pe:
+            pe = self.param(
+                "PE",
+                nn.initializers.normal(stddev=1.0),
+                (1, 1 + cfg.n_prev_motions + cfg.n_motions, cfg.feature_dim),
+                self.param_dtype,
+            )
+            feats_in = feats_in + pe.astype(self.dtype)
+        else:
+            feats_in = apply_pe_single_row(feats_in, sinusoidal_table(cfg.feature_dim, 600, self.dtype))
+
+        memory_mask = None
+        if cfg.align_mask_width > 0:
+            memory_mask = alignment_mask(n_prev, n_cur, cfg.align_mask_width)
+
+        memory = jnp.concatenate([prev_audio_feat, audio_feat], axis=1).astype(self.dtype)
+        feat_out = TransformerDecoder(
+            cfg.n_layers,
+            cfg.feature_dim,
+            cfg.n_heads,
+            cfg.mlp_ratio * cfg.feature_dim,
+            0.1,
+            self.dtype,
+            self.param_dtype,
+            name="transformer",
+        )(feats_in, memory, memory_mask, deterministic)
+
+        # motion decoder (person token dropped)
+        h = nn.Dense(cfg.feature_dim // 2, dtype=self.dtype, param_dtype=self.param_dtype, name="motion_dec_1")(
+            feat_out[:, 1:]
+        )
+        h = nn.gelu(h, approximate=False)
+        decoded = nn.Dense(
+            d_motion + cfg.num_of_basis, dtype=self.dtype, param_dtype=self.param_dtype, name="motion_dec_2"
+        )(h)  # (N, L_p + L, d_motion + num_of_basis)
+
+        dynamic = decoded[..., : -cfg.num_of_basis]  # (N, L_p+L, d_motion)
+        alphas = decoded[..., -cfg.num_of_basis :]  # (N, L_p+L, K)
+        if cfg.regularize_alpha == "sigmoid":
+            alphas = nn.sigmoid(alphas)
+
+        # style-basis static offsets, tiled over time: (N, L_p+L, K, d_motion)
+        statics = []
+        for k in range(cfg.num_of_basis):
+            s = StyleBasisMLP(
+                cfg.feature_dim, d_motion, self.dtype, self.param_dtype, name=f"static_feature_mapping_{k}"
+            )(static_style_feat.astype(self.dtype))  # (N, 1, d_motion)
+            statics.append(s)
+        static = jnp.stack(statics, axis=2)  # (N, 1, K, d_motion)
+        static = jnp.broadcast_to(static, (static.shape[0], decoded.shape[1]) + static.shape[2:])
+
+        alphas_e = alphas[..., None]  # (N, L, K, 1)
+        if self.use_head_alpha:
+            summed_static = (static * alphas_e).sum(axis=2)
+        else:
+            # head-pose channels (last 3) bypass the alpha weighting
+            # (reference: model.py:983-990)
+            face = (static[..., :-3] * alphas_e).sum(axis=2)
+            pose = static[..., -3:].sum(axis=2)
+            summed_static = jnp.concatenate([face, pose], axis=-1)
+
+        if keep_separate:
+            return dynamic, static, alphas
+        return dynamic + summed_static

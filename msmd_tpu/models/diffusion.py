@@ -1,0 +1,552 @@
+"""MSMD: the conditional diffusion model for speech-driven facial motion.
+
+Rebuild of the reference wrapper (reference: model.py:73-818), TPU-first:
+
+- **Training forward** (`MSMD.__call__`): audio feature extraction, CFG
+  condition dropout, the q-sample forward-diffusion step, and one
+  denoiser pass — all one jittable function of (params, batch, rngs)
+  (reference: model.py:146-248).
+- **Sampling** (`sample`, `sample_separate`, `sample_with_guide`): the
+  reference runs a Python loop over t = T..1 with a per-step
+  ``traj[t].cpu()`` host transfer (model.py:377-435) — the canonical TPU
+  anti-pattern. Here the whole reverse process is ONE ``lax.scan`` with
+  the classifier-free-guidance entries stacked on the batch axis, so the
+  entire denoising trajectory stays on device and the n_diff_steps
+  denoiser invocations compile into a single XLA while-loop.
+
+CFG semantics match the reference exactly: entry stacking order
+(null, +audio, +style), 'independent' vs 'incremental' combination
+(model.py:339-417), train-time dropout probabilities (0.1/0.5
+independent, 0.45/0.45/0.1 incremental — model.py:190-218), and
+optional dynamic thresholding (model.py:396-402).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from msmd_tpu.config import MSMDConfig
+from msmd_tpu.models.audio import AudioEncoder, AudioEncoderConfig
+from msmd_tpu.models.denoiser import DenoisingNetwork
+from msmd_tpu.ops.schedule import DiffusionSchedule
+from msmd_tpu.ops.seq import linear_interpolate, pad_audio
+
+
+class MSMD(nn.Module):
+    cfg: MSMDConfig
+    use_head_alpha: bool = False  # the MSMD factory default (model.py:17)
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        self.audio_encoder = AudioEncoder(
+            AudioEncoderConfig(), dtype=self.dtype, param_dtype=self.param_dtype, name="audio_encoder"
+        )
+        self.audio_feature_map = nn.Dense(
+            cfg.feature_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="audio_feature_map"
+        )
+        normal = nn.initializers.normal(stddev=1.0)
+        self.start_motion_feat = self.param(
+            "start_motion_feat", normal, (1, cfg.n_prev_motions, cfg.motion_feat_dim), self.param_dtype
+        )
+        self.start_audio_feat = self.param(
+            "start_audio_feat", normal, (1, cfg.n_prev_motions, cfg.feature_dim), self.param_dtype
+        )
+        self.denoising_net = DenoisingNetwork(
+            cfg, use_head_alpha=self.use_head_alpha, dtype=self.dtype, param_dtype=self.param_dtype, name="denoising_net"
+        )
+        conds = cfg.guiding_condition_list
+        if "style" in conds:
+            self.null_style_feat = self.param("null_style_feat", normal, (1, 1, cfg.d_style), self.param_dtype)
+        if "audio" in conds:
+            self.null_audio_feat = self.param("null_audio_feat", normal, (1, 1, cfg.feature_dim), self.param_dtype)
+        self.schedule = DiffusionSchedule.create(cfg.n_diff_steps, cfg.diff_schedule)
+
+    # ------------------------------------------------------------------
+    # audio feature extraction (the "BackResample" head, model.py:250-264)
+    # ------------------------------------------------------------------
+    def _extract_768(self, audio: jnp.ndarray, frame_num: Optional[int], deterministic: bool) -> jnp.ndarray:
+        cfg = self.cfg
+        frame_num = frame_num or cfg.n_motions
+        hidden = self.audio_encoder(pad_audio(audio), cfg.fps, frame_num * 2, deterministic)  # (N, 2L, 768)
+        hidden = jnp.transpose(linear_interpolate(jnp.transpose(hidden, (0, 2, 1)), frame_num), (0, 2, 1))
+        return hidden
+
+    def extract_audio_feature(self, audio: jnp.ndarray, frame_num: Optional[int] = None, deterministic: bool = True):
+        """Raw 16 kHz audio (N, L_a) -> (N, frame_num, feature_dim)."""
+        return self.audio_feature_map(self._extract_768(audio, frame_num, deterministic))
+
+    def extract_audio_768_feature(self, audio: jnp.ndarray, frame_num: Optional[int] = None, deterministic: bool = True):
+        """The 768-dim pre-projection features (reference: model.py:266-280).
+        Callers wrap in ``jax.lax.stop_gradient`` for the no-grad variant."""
+        return self._extract_768(audio, frame_num, deterministic)
+
+    # ------------------------------------------------------------------
+    # single denoiser invocation (used by the scan-based samplers)
+    # ------------------------------------------------------------------
+    def denoise(
+        self,
+        motion_feat,
+        audio_feat,
+        person_feat,
+        style_feat,
+        prev_motion_feat,
+        prev_audio_feat,
+        step,
+        indicator=None,
+        keep_separate: bool = False,
+        deterministic: bool = True,
+    ):
+        return self.denoising_net(
+            motion_feat, audio_feat, person_feat, style_feat, prev_motion_feat, prev_audio_feat, step,
+            indicator, keep_separate, deterministic,
+        )
+
+    # ------------------------------------------------------------------
+    # training forward (reference: model.py:146-248)
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        motion_feat: jnp.ndarray,  # (N, L, d_motion)
+        audio_or_feat: jnp.ndarray,  # (N, L_a) raw or (N, L, F) features
+        shape_feat: jnp.ndarray,  # (N, 100) or (N, 1, 100)
+        style_feat: Optional[jnp.ndarray] = None,  # (N, d_style)
+        prev_motion_feat: Optional[jnp.ndarray] = None,
+        prev_audio_feat: Optional[jnp.ndarray] = None,
+        time_step: Optional[jnp.ndarray] = None,
+        indicator: Optional[jnp.ndarray] = None,
+        train_with_cfg: bool = True,
+        keep_separate: bool = False,
+        deterministic: bool = False,
+    ):
+        cfg = self.cfg
+        batch_size = motion_feat.shape[0]
+
+        if audio_or_feat.ndim == 2:
+            assert audio_or_feat.shape[1] == cfg.n_audio_samples, (
+                f"Incorrect audio length {audio_or_feat.shape[1]} (expected {cfg.n_audio_samples})"
+            )
+            audio_feat_saved = self.extract_audio_feature(audio_or_feat, deterministic=deterministic)
+        elif audio_or_feat.ndim == 3:
+            assert audio_or_feat.shape[1] == cfg.n_motions, f"Incorrect audio feature length {audio_or_feat.shape[1]}"
+            audio_feat_saved = audio_or_feat
+        else:
+            raise ValueError(f"Incorrect audio input shape {audio_or_feat.shape}")
+        audio_feat = audio_feat_saved
+
+        if shape_feat.ndim == 2:
+            shape_feat = shape_feat[:, None]
+        if style_feat is not None and style_feat.ndim == 2:
+            style_feat = style_feat[:, None]
+
+        if prev_motion_feat is None:
+            prev_motion_feat = jnp.broadcast_to(
+                self.start_motion_feat, (batch_size,) + self.start_motion_feat.shape[1:]
+            )
+        if prev_audio_feat is None:
+            prev_audio_feat = jnp.broadcast_to(self.start_audio_feat, (batch_size,) + self.start_audio_feat.shape[1:])
+
+        conds = cfg.guiding_condition_list
+        if len(conds) > 0 and train_with_cfg:
+            assert len(conds) <= 2, "Only support 1 or 2 CFG conditions!"
+            cfg_key = self.make_rng("diffusion")
+            if len(conds) == 1 or cfg.cfg_mode == "independent":
+                null_cond_prob = 0.5 if len(conds) >= 2 else 0.1
+                k_style, k_audio = jax.random.split(cfg_key)
+                if "style" in conds:
+                    mask_style = jax.random.uniform(k_style, (batch_size,)) < null_cond_prob
+                    style_feat = jnp.where(
+                        mask_style[:, None, None],
+                        jnp.broadcast_to(self.null_style_feat, style_feat.shape),
+                        style_feat,
+                    )
+                if "audio" in conds:
+                    mask_audio = jax.random.uniform(k_audio, (batch_size,)) < null_cond_prob
+                    audio_feat = jnp.where(
+                        mask_audio[:, None, None],
+                        jnp.broadcast_to(self.null_audio_feat, audio_feat.shape),
+                        audio_feat,
+                    )
+            else:
+                # incremental: full 0.45 / w/o style 0.45 / w/o both 0.1
+                mask_flag = jax.random.uniform(cfg_key, (batch_size,))
+                if "style" in conds:
+                    style_feat = jnp.where(
+                        (mask_flag > 0.55)[:, None, None],
+                        jnp.broadcast_to(self.null_style_feat, style_feat.shape),
+                        style_feat,
+                    )
+                if "audio" in conds:
+                    audio_feat = jnp.where(
+                        (mask_flag > 0.9)[:, None, None],
+                        jnp.broadcast_to(self.null_audio_feat, audio_feat.shape),
+                        audio_feat,
+                    )
+
+        person_feat = shape_feat if style_feat is None else jnp.concatenate([shape_feat, style_feat], axis=-1)
+
+        if time_step is None:
+            time_step = self.schedule.uniform_sample_t(self.make_rng("diffusion"), batch_size)
+
+        # q-sample: x_t = sqrt(ab) x_0 + sqrt(1-ab) eps (model.py:231-236)
+        alpha_bar = self.schedule.alpha_bars[time_step]
+        c0 = jnp.sqrt(alpha_bar)[:, None, None]
+        c1 = jnp.sqrt(1.0 - alpha_bar)[:, None, None]
+        eps = jax.random.normal(self.make_rng("diffusion"), motion_feat.shape, motion_feat.dtype)
+        motion_feat_noisy = c0 * motion_feat + c1 * eps
+
+        if keep_separate:
+            dynamic, static, alpha_t = self.denoising_net(
+                motion_feat_noisy, audio_feat, person_feat, style_feat, prev_motion_feat, prev_audio_feat,
+                time_step, indicator, keep_separate=True, deterministic=deterministic,
+            )
+            # NOTE: the keep_separate recombine intentionally applies alpha to
+            # ALL channels (reference: model.py:239-241 does the same).
+            alphas_e = alpha_t[..., None]
+            target = dynamic + (static * alphas_e).sum(axis=2)
+            return (
+                eps, target, jax.lax.stop_gradient(motion_feat), jax.lax.stop_gradient(audio_feat_saved),
+                dynamic, static, alpha_t,
+            )
+
+        target = self.denoising_net(
+            motion_feat_noisy, audio_feat, person_feat, style_feat, prev_motion_feat, prev_audio_feat,
+            time_step, indicator, deterministic=deterministic,
+        )
+        return eps, target, jax.lax.stop_gradient(motion_feat), jax.lax.stop_gradient(audio_feat_saved)
+
+
+# ===========================================================================
+# Sampling — the reverse diffusion as one lax.scan.
+# ===========================================================================
+
+def _normalize_cfg(cfg: MSMDConfig, cfg_mode, cfg_cond, cfg_scale):
+    """Sort conditions ('audio' before 'style') and align scales
+    (reference: model.py:294-303)."""
+    if cfg_mode is None:
+        cfg_mode = cfg.cfg_mode
+    if cfg_cond is None:
+        cfg_cond = cfg.guiding_condition_list
+    cfg_cond = [c for c in cfg_cond if c in ("audio", "style")]
+    if not isinstance(cfg_scale, (list, tuple)):
+        cfg_scale = [cfg_scale] * len(cfg_cond)
+    if cfg_cond:
+        order = sorted(zip(cfg_cond, cfg_scale), key=lambda x: ["audio", "style"].index(x[0]))
+        cfg_cond, cfg_scale = [c for c, _ in order], [s for _, s in order]
+    else:
+        cfg_cond, cfg_scale = [], []
+    return cfg_mode, tuple(cfg_cond), tuple(float(s) for s in cfg_scale)
+
+
+def _build_cfg_stacks(model_cfg, params, audio_feat, shape_feat, style_feat, cfg_mode, cfg_cond):
+    """Stack the CFG entries on the batch axis: [null, (+audio), (+style)]
+    (reference: model.py:336-374). Returns (audio_in, person_in, n_entries)."""
+    batch_size = audio_feat.shape[0]
+    n_motions = audio_feat.shape[1]
+    null_audio = jnp.broadcast_to(params["null_audio_feat"], (batch_size, n_motions, params["null_audio_feat"].shape[-1])) if "audio" in cfg_cond else audio_feat
+    if "style" in cfg_cond:
+        null_style = jnp.broadcast_to(params["null_style_feat"], (batch_size, 1, params["null_style_feat"].shape[-1]))
+        person_null = jnp.concatenate([shape_feat, null_style], axis=-1)
+    else:
+        person_null = (
+            jnp.concatenate([shape_feat, style_feat], axis=-1) if style_feat is not None else shape_feat
+        )
+
+    audio_in = [null_audio]
+    person_in = [person_null]
+    for cond in cfg_cond:
+        if cond == "audio":
+            audio_in.append(audio_feat)
+            person_in.append(person_null)
+        elif cond == "style":
+            audio_in.append(null_audio if cfg_mode == "independent" else audio_feat)
+            person_in.append(jnp.concatenate([shape_feat, style_feat], axis=-1))
+    n_entries = len(audio_in)
+    return jnp.concatenate(audio_in, axis=0), jnp.concatenate(person_in, axis=0), n_entries
+
+
+def _cfg_combine(results_entries: jnp.ndarray, cfg_mode: str, cfg_scale: Sequence[float], n_motions: int):
+    """results_entries: (n_entries, B, L_p+L, D) -> guided target
+    (B, n_motions, D) (reference: model.py:406-417)."""
+    tail = results_entries[:, :, -n_motions:]
+    target = tail[0]
+    n_entries = results_entries.shape[0]
+    for i in range(n_entries - 1):
+        base = tail[0] if cfg_mode == "independent" else tail[i]
+        target = target + cfg_scale[i] * (tail[i + 1] - base)
+    return target
+
+
+def _dynamic_threshold(results: jnp.ndarray, n_motions: int, dynamic_threshold):
+    """Per-sample quantile clamp (reference: model.py:396-402)."""
+    dt_ratio, dt_min, dt_max = dynamic_threshold
+    flat = jnp.abs(results[:, -n_motions:].reshape(results.shape[0], -1))
+    s = jnp.quantile(flat, dt_ratio, axis=1)
+    s = jnp.clip(s, dt_min, dt_max)[:, None, None]
+    return jnp.clip(results, -s, s)
+
+
+def _prepare_sample_inputs(
+    model: "MSMD", variables, key, audio_or_feat, shape_feat, style_feat,
+    prev_motion_feat, prev_audio_feat, motion_at_T, indicator, cfg_mode, cfg_cond, cfg_scale,
+):
+    cfg = model.cfg
+    params = variables["params"]
+    batch_size = audio_or_feat.shape[0]
+
+    cfg_mode, cfg_cond, cfg_scale = _normalize_cfg(cfg, cfg_mode, cfg_cond, cfg_scale)
+
+    if style_feat is None:
+        style_feat = jnp.broadcast_to(params["null_style_feat"], (batch_size, 1, cfg.d_style))
+    if audio_or_feat.ndim == 2:
+        audio_feat = model.apply(variables, audio_or_feat, method=MSMD.extract_audio_feature)
+    else:
+        audio_feat = audio_or_feat
+    n_motions = audio_feat.shape[1]
+
+    if shape_feat.ndim == 2:
+        shape_feat = shape_feat[:, None]
+    if style_feat.ndim == 2:
+        style_feat = style_feat[:, None]
+    if prev_motion_feat is None:
+        prev_motion_feat = jnp.broadcast_to(
+            params["start_motion_feat"], (batch_size,) + params["start_motion_feat"].shape[1:]
+        )
+    if prev_audio_feat is None:
+        prev_audio_feat = jnp.broadcast_to(
+            params["start_audio_feat"], (batch_size,) + params["start_audio_feat"].shape[1:]
+        )
+    if motion_at_T is None:
+        key, sub = jax.random.split(key)
+        motion_at_T = jax.random.normal(sub, (batch_size, n_motions, cfg.motion_feat_dim))
+
+    audio_in, person_in, n_entries = _build_cfg_stacks(
+        cfg, params, audio_feat, shape_feat, style_feat, cfg_mode, cfg_cond
+    )
+    tile = lambda x: jnp.concatenate([x] * n_entries, axis=0)
+    stacks = dict(
+        audio_in=audio_in,
+        person_in=person_in,
+        prev_motion_in=tile(prev_motion_feat),
+        prev_audio_in=tile(prev_audio_feat),
+        indicator_in=tile(indicator) if indicator is not None else None,
+        style_in=tile(style_feat),
+        n_entries=n_entries,
+    )
+    return key, audio_feat, motion_at_T, stacks, (cfg_mode, cfg_cond, cfg_scale)
+
+
+def sample(
+    model: "MSMD",
+    variables,
+    key: jax.Array,
+    audio_or_feat: jnp.ndarray,
+    shape_feat: jnp.ndarray,
+    style_feat: Optional[jnp.ndarray] = None,
+    prev_motion_feat: Optional[jnp.ndarray] = None,
+    prev_audio_feat: Optional[jnp.ndarray] = None,
+    motion_at_T: Optional[jnp.ndarray] = None,
+    indicator: Optional[jnp.ndarray] = None,
+    cfg_mode: Optional[str] = None,
+    cfg_cond: Optional[Sequence[str]] = None,
+    cfg_scale=1.15,
+    flexibility: float = 0.0,
+    dynamic_threshold: Optional[Tuple[float, float, float]] = None,
+    ret_traj: bool = False,
+    guidance_indice: Optional[jnp.ndarray] = None,
+    guidance_values: Optional[jnp.ndarray] = None,
+):
+    """DDPM sampling as one ``lax.scan`` over t = T..1.
+
+    Covers both ``MSMD.sample`` (reference model.py:282-440) and — when
+    ``guidance_indice``/``guidance_values`` are given — the naive
+    inpainting ``sample_with_guide`` (reference model.py:653-818, write
+    at :765-766).
+
+    Returns (motion (B, n_motions, D), motion_at_T, audio_feat), with the
+    full trajectory (T+1, B, L, D; index t holds x_t) instead of the
+    motion when ``ret_traj``.
+    """
+    cfg = model.cfg
+    sched: DiffusionSchedule = DiffusionSchedule.create(cfg.n_diff_steps, cfg.diff_schedule)
+    key, audio_feat, motion_at_T, stacks, (cfg_mode_n, cfg_cond_n, cfg_scale_n) = _prepare_sample_inputs(
+        model, variables, key, audio_or_feat, shape_feat, style_feat,
+        prev_motion_feat, prev_audio_feat, motion_at_T, indicator, cfg_mode, cfg_cond, cfg_scale,
+    )
+    batch_size = motion_at_T.shape[0]
+    n_motions = motion_at_T.shape[1]
+    n_entries = stacks["n_entries"]
+
+    def denoise_apply(motion_in, step_in):
+        return model.apply(
+            variables,
+            motion_in,
+            stacks["audio_in"],
+            stacks["person_in"],
+            stacks["style_in"],
+            stacks["prev_motion_in"],
+            stacks["prev_audio_in"],
+            step_in,
+            stacks["indicator_in"],
+            method=MSMD.denoise,
+        )
+
+    def body(carry, t):
+        motion_at_t, k = carry
+        k, kz = jax.random.split(k)
+        z = jax.random.normal(kz, motion_at_t.shape, motion_at_t.dtype)
+        z = jnp.where(t > 1, z, jnp.zeros_like(z))
+
+        alpha = sched.alphas[t]
+        alpha_bar = sched.alpha_bars[t]
+        alpha_bar_prev = sched.alpha_bars[t - 1]
+        sigma = sched.get_sigmas(t, flexibility)
+
+        motion_in = jnp.concatenate([motion_at_t] * n_entries, axis=0)
+        if guidance_indice is not None:
+            motion_in = motion_in.at[:, guidance_indice, :].set(guidance_values)
+        step_in = jnp.full((batch_size * n_entries,), t, jnp.int32)
+
+        results = denoise_apply(motion_in, step_in)
+        if dynamic_threshold:
+            results = _dynamic_threshold(results, n_motions, dynamic_threshold)
+        results = results.reshape((n_entries, batch_size) + results.shape[1:])
+        target_theta = _cfg_combine(results, cfg_mode_n, cfg_scale_n, n_motions)
+
+        if cfg.target == "noise":
+            c0 = 1.0 / jnp.sqrt(alpha)
+            c1 = (1.0 - alpha) / jnp.sqrt(1.0 - alpha_bar)
+            motion_next = c0 * (motion_at_t - c1 * target_theta) + sigma * z
+        elif cfg.target == "sample":
+            c0 = (1.0 - alpha_bar_prev) * jnp.sqrt(alpha) / (1.0 - alpha_bar)
+            c1 = (1.0 - alpha) * jnp.sqrt(alpha_bar_prev) / (1.0 - alpha_bar)
+            motion_next = c0 * motion_at_t + c1 * target_theta + sigma * z
+        else:
+            raise ValueError(f"Unknown target type: {cfg.target}")
+        return (motion_next, k), motion_next if ret_traj else None
+
+    ts = jnp.arange(sched.num_steps, 0, -1)
+    (motion_0, _), traj_tail = jax.lax.scan(body, (motion_at_T, key), ts)
+
+    if ret_traj:
+        # traj_tail is ordered t = T-1 .. 0; prepend x_T and flip so that
+        # index t holds x_t, mirroring the reference's traj dict.
+        traj = jnp.concatenate([traj_tail[::-1], motion_at_T[None]], axis=0)
+        return traj, motion_at_T, audio_feat
+    return motion_0, motion_at_T, audio_feat
+
+
+def sample_with_guide(model, variables, key, audio_or_feat, shape_feat, *, guidance_indice, guidance_values, **kw):
+    """Naive inpainting guidance (reference: model.py:653-818)."""
+    return sample(
+        model, variables, key, audio_or_feat, shape_feat,
+        guidance_indice=guidance_indice, guidance_values=guidance_values, **kw,
+    )
+
+
+def sample_separate(
+    model: "MSMD",
+    variables,
+    key: jax.Array,
+    audio_or_feat: jnp.ndarray,
+    shape_feat: jnp.ndarray,
+    style_feat: Optional[jnp.ndarray] = None,
+    prev_motion_feat: Optional[jnp.ndarray] = None,
+    prev_audio_feat: Optional[jnp.ndarray] = None,
+    motion_at_T: Optional[jnp.ndarray] = None,
+    indicator: Optional[jnp.ndarray] = None,
+    cfg_mode: Optional[str] = None,
+    cfg_cond: Optional[Sequence[str]] = None,
+    cfg_scale=1.15,
+    flexibility: float = 0.0,
+    dynamic_threshold: Optional[Tuple[float, float, float]] = None,
+    alpha_t_modification=None,
+    return_all_alpha: bool = False,
+):
+    """Style-basis introspection sampler (reference: model.py:442-651):
+    like `sample` but the denoiser returns (dynamic, static, alpha)
+    separately; alpha can be modified in-flight; returns the final
+    dynamic part, the accumulated static contribution, and the guided
+    alpha trajectory."""
+    cfg = model.cfg
+    sched = DiffusionSchedule.create(cfg.n_diff_steps, cfg.diff_schedule)
+    key, audio_feat, motion_at_T, stacks, (cfg_mode_n, cfg_cond_n, cfg_scale_n) = _prepare_sample_inputs(
+        model, variables, key, audio_or_feat, shape_feat, style_feat,
+        prev_motion_feat, prev_audio_feat, motion_at_T, indicator, cfg_mode, cfg_cond, cfg_scale,
+    )
+    batch_size = motion_at_T.shape[0]
+    n_motions = motion_at_T.shape[1]
+    n_entries = stacks["n_entries"]
+    d_motion = cfg.motion_feat_dim
+
+    def combine_static(static, alpha_e):
+        if model.use_head_alpha:
+            return (static * alpha_e).sum(axis=2)
+        face = (static[..., :-3] * alpha_e).sum(axis=2)
+        pose = static[..., -3:].sum(axis=2)
+        return jnp.concatenate([face, pose], axis=-1)
+
+    def body(carry, t):
+        motion_at_t, cum_static, k = carry
+        k, kz = jax.random.split(k)
+        z = jax.random.normal(kz, motion_at_t.shape, motion_at_t.dtype)
+        z = jnp.where(t > 1, z, jnp.zeros_like(z))
+
+        alpha = sched.alphas[t]
+        alpha_bar = sched.alpha_bars[t]
+        alpha_bar_prev = sched.alpha_bars[t - 1]
+        sigma = sched.get_sigmas(t, flexibility)
+
+        motion_in = jnp.concatenate([motion_at_t] * n_entries, axis=0)
+        step_in = jnp.full((batch_size * n_entries,), t, jnp.int32)
+        dynamic, static, alpha_t = model.apply(
+            variables, motion_in, stacks["audio_in"], stacks["person_in"], stacks["style_in"],
+            stacks["prev_motion_in"], stacks["prev_audio_in"], step_in, stacks["indicator_in"],
+            keep_separate=True, method=MSMD.denoise,
+        )
+        if alpha_t_modification is not None:
+            alpha_t = alpha_t_modification(alpha_t)
+        static_sum = combine_static(static, alpha_t[..., None])
+        results = dynamic + static_sum
+        if dynamic_threshold:
+            results = _dynamic_threshold(results, n_motions, dynamic_threshold)
+
+        reshape_e = lambda x: x.reshape((n_entries, batch_size) + x.shape[1:])
+        target_theta = _cfg_combine(reshape_e(results), cfg_mode_n, cfg_scale_n, n_motions)
+        target_dynamic = _cfg_combine(reshape_e(dynamic), cfg_mode_n, cfg_scale_n, n_motions)
+        target_static = _cfg_combine(reshape_e(static_sum), cfg_mode_n, cfg_scale_n, n_motions)
+        target_alpha = _cfg_combine(reshape_e(alpha_t), cfg_mode_n, cfg_scale_n, n_motions)
+
+        if cfg.target == "noise":
+            c0 = 1.0 / jnp.sqrt(alpha)
+            c1 = (1.0 - alpha) / jnp.sqrt(1.0 - alpha_bar)
+            motion_next = c0 * (motion_at_t - c1 * target_theta) + sigma * z
+        else:
+            c0 = (1.0 - alpha_bar_prev) * jnp.sqrt(alpha) / (1.0 - alpha_bar)
+            c1 = (1.0 - alpha) * jnp.sqrt(alpha_bar_prev) / (1.0 - alpha_bar)
+            motion_next = c0 * motion_at_t + c1 * target_theta + sigma * z
+        cum_static = cum_static + c1 * target_static
+        return (motion_next, cum_static, k), (target_dynamic, target_alpha)
+
+    ts = jnp.arange(sched.num_steps, 0, -1)
+    (motion_0, cum_static, _), (dyn_traj, alpha_traj) = jax.lax.scan(
+        body, (motion_at_T, jnp.zeros_like(motion_at_T), key), ts
+    )
+    final_dynamic = dyn_traj[-1]
+    final_alpha = alpha_traj[-1]
+    if return_all_alpha:
+        return motion_0, motion_at_T, audio_feat, final_dynamic, cum_static, alpha_traj
+    return motion_0, motion_at_T, audio_feat, final_dynamic, cum_static, final_alpha
+
+
+def get_diffusion_model(cfg: MSMDConfig, dtype=jnp.float32, param_dtype=jnp.float32) -> MSMD:
+    """Factory mirroring the reference's defensive defaults
+    (reference: model.py:7-17): use_head_alpha=False, regularize_alpha
+    from config."""
+    return MSMD(cfg=cfg, use_head_alpha=False, dtype=dtype, param_dtype=param_dtype)
