@@ -79,6 +79,7 @@ def _head_trans_loss(crit, head_pose_gt, head_pose_pred, n_prev: int, mask):
     537-551): velocities of [gt[-3:], pred[:3]] at frames [2:4] vs [1:3],
     accelerations consecutive-matched, each masked by the first 2/3
     current-window frames."""
+    assert n_prev >= 3, "head_trans loss requires n_prev_motions >= 3 (reference assumes 10+)"
     trans = jnp.concatenate(
         [head_pose_gt[:, n_prev - 3 : n_prev], head_pose_pred[:, n_prev : n_prev + 3]], axis=1
     )  # (B, 6, 3)

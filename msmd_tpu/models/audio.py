@@ -230,10 +230,13 @@ class AudioEncoder(nn.Module):
             feats, deterministic
         )
 
-        if c.apply_spec_augment and not deterministic and c.mask_time_prob > 0:
+        if c.apply_spec_augment and c.mask_time_prob > 0:
+            # created unconditionally so init (deterministic) and training
+            # (masking active) share one param tree
             masked_embed = self.param(
                 "masked_spec_embed", nn.initializers.uniform(scale=1.0), (c.hidden_size,), self.param_dtype
             )
+        if c.apply_spec_augment and not deterministic and c.mask_time_prob > 0:
             key = self.make_rng("spec_augment")
             mask = sample_time_masks(key, hidden.shape[0], hidden.shape[1], c.mask_time_prob, c.mask_time_length)
             hidden = jnp.where(mask[..., None], masked_embed.astype(hidden.dtype), hidden)

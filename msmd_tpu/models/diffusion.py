@@ -40,13 +40,15 @@ from msmd_tpu.ops.seq import linear_interpolate, pad_audio
 class MSMD(nn.Module):
     cfg: MSMDConfig
     use_head_alpha: bool = False  # the MSMD factory default (model.py:17)
+    audio_config: Optional[AudioEncoderConfig] = None  # None -> base (768/12L)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         cfg = self.cfg
         self.audio_encoder = AudioEncoder(
-            AudioEncoderConfig(), dtype=self.dtype, param_dtype=self.param_dtype, name="audio_encoder"
+            self.audio_config or AudioEncoderConfig(),
+            dtype=self.dtype, param_dtype=self.param_dtype, name="audio_encoder",
         )
         self.audio_feature_map = nn.Dense(
             cfg.feature_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="audio_feature_map"
@@ -545,8 +547,9 @@ def sample_separate(
     return motion_0, motion_at_T, audio_feat, final_dynamic, cum_static, final_alpha
 
 
-def get_diffusion_model(cfg: MSMDConfig, dtype=jnp.float32, param_dtype=jnp.float32) -> MSMD:
+def get_diffusion_model(cfg: MSMDConfig, audio_config: Optional[AudioEncoderConfig] = None, dtype=jnp.float32, param_dtype=jnp.float32) -> MSMD:
     """Factory mirroring the reference's defensive defaults
     (reference: model.py:7-17): use_head_alpha=False, regularize_alpha
-    from config."""
-    return MSMD(cfg=cfg, use_head_alpha=False, dtype=dtype, param_dtype=param_dtype)
+    from config. ``audio_config`` overrides the base-size wav2vec2/hubert
+    architecture (tests/benchmarks use tiny ones)."""
+    return MSMD(cfg=cfg, use_head_alpha=False, audio_config=audio_config, dtype=dtype, param_dtype=param_dtype)

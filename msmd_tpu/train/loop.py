@@ -1,0 +1,267 @@
+"""The jitted two-clip training step and the host training loop.
+
+Rebuild of the reference training loop (reference:
+training_script.py:49-241) as ONE fixed-shape jitted function per step:
+
+- VAE style extraction for both windows (+ KL), cross-style swap with
+  p = prob_cross_style (reference :115-118; the reference draws one
+  np.random flag per batch, reproduced as a batch-level bernoulli inside
+  jit)
+- per-clip random end-truncation with indicator masks (reference
+  :123-137); the branchy torch version becomes a masked select, and the
+  no-grad full-audio re-extract for the previous-window carry
+  (reference :148-162) becomes a ``lax.cond``
+- two chained MSMD forwards: clip 0 seeds ``prev_motion/prev_audio`` for
+  clip 1 (windowed-autoregression training)
+- the weighted loss sum and one (optionally multi-step-accumulated)
+  Adam update with the audio-encoder freezing mask applied
+  (reference: model.py:93-110, training_script.py:548-551)
+
+Data parallelism: the step function is jit-compiled with the batch
+sharded over the mesh's 'data' axis and params replicated; XLA inserts
+the gradient psum over ICI (no hand-written collectives — see
+msmd_tpu.parallel.mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from flax import traverse_util
+
+from msmd_tpu.config import MSMDConfig
+from msmd_tpu.losses import (
+    compute_kl_loss,
+    compute_loss,
+    compute_loss_no_vert,
+    load_loss_weights,
+    truncate_motion_coef_and_audio,
+)
+from msmd_tpu.models.audio import audio_param_trainable
+from msmd_tpu.models.diffusion import MSMD
+from msmd_tpu.train.scheduler import make_schedule
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any  # {'model': ..., 'style_enc': ...}
+    opt_state: Any
+
+
+def trainable_mask(cfg: MSMDConfig, params) -> Any:
+    """True = trainable. Freezes the audio-encoder subtree per the
+    reference policy (model.py:93-110)."""
+    flat = traverse_util.flatten_dict(params)
+    mask = {}
+    for path in flat:
+        if len(path) > 2 and path[0] == "model" and path[1] == "audio_encoder":
+            mask[path] = audio_param_trainable(cfg.audio_model, path[2:])
+        else:
+            mask[path] = True
+    return traverse_util.unflatten_dict(mask)
+
+
+def make_optimizer(cfg: MSMDConfig, params) -> optax.GradientTransformation:
+    """Adam (torch defaults) on the warmup(+cosine) schedule, with frozen
+    subtrees masked out and optional gradient accumulation.
+
+    NOTE: the reference accumulates gradient SUMS over
+    ``gradient_accumulation_steps`` (plain ``loss.backward()`` per iter);
+    optax.MultiSteps averages — equivalent up to an lr factor and
+    identical at the default accum=1."""
+    labels = jax.tree_util.tree_map(lambda t: "train" if t else "freeze", trainable_mask(cfg, params))
+    tx = optax.multi_transform(
+        {
+            "train": optax.adam(learning_rate=make_schedule(cfg), b1=0.9, b2=0.999, eps=1e-8),
+            "freeze": optax.set_to_zero(),
+        },
+        labels,
+    )
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    return tx
+
+
+def init_models(cfg: MSMDConfig, key: jax.Array, model: MSMD, style_enc) -> Dict[str, Any]:
+    """Initialize both param trees. The MSMD init runs one forward with
+    RAW audio so the audio-encoder params exist in the tree."""
+    k_model, k_style, k_rngs = jax.random.split(key, 3)
+    B = 1
+    motion = jnp.zeros((B, cfg.n_motions, cfg.motion_feat_dim))
+    audio = jnp.zeros((B, cfg.n_audio_samples))
+    shape = jnp.zeros((B, cfg.shape_feat_dim))
+    style = jnp.zeros((B, cfg.d_style))
+    model_vars = model.init(
+        {"params": k_model, "diffusion": k_rngs, "dropout": k_rngs, "spec_augment": k_rngs},
+        motion, audio, shape, style, deterministic=True,
+    )
+    se_vars = style_enc.init({"params": k_style, "style": k_rngs}, motion, deterministic=True)
+    return {"model": model_vars["params"], "style_enc": se_vars["params"]}
+
+
+def create_train_state(cfg: MSMDConfig, key: jax.Array, model: MSMD, style_enc) -> Tuple[TrainState, optax.GradientTransformation]:
+    params = init_models(cfg, key, model, style_enc)
+    tx = make_optimizer(cfg, params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params)), tx
+
+
+# ---------------------------------------------------------------------------
+# the two-clip loss (shared by train and eval)
+# ---------------------------------------------------------------------------
+
+def two_clip_loss(
+    cfg: MSMDConfig,
+    model: MSMD,
+    style_enc,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    flame=None,
+    train: bool = True,
+    do_ignore_style: bool = False,
+    eval_always_cross_style: bool = False,
+):
+    """Returns (total_loss, per-term dict). Mirrors the two-clip loop of
+    train() (training_script.py:109-196) / test() (:270-340)."""
+    weights = load_loss_weights(cfg)
+    deterministic = not train
+    mvars = {"params": params["model"]}
+    svars = {"params": params["style_enc"]}
+    batch_size = batch["motion_0"].shape[0]
+
+    keys = jax.random.split(key, 20)
+    kidx = iter(range(20))
+    nk = lambda: keys[next(kidx)]
+
+    # ---- style extraction (both windows) -----------------------------
+    motions = [batch["motion_0"], batch["motion_1"]]
+    style_in = [jnp.zeros_like(m) if do_ignore_style else m for m in motions]
+    style_out = [
+        style_enc.apply(
+            svars, style_in[i], deterministic=deterministic,
+            rngs={"style": nk(), "dropout": nk()},
+        )
+        for i in range(2)
+    ]
+    style_pair = [s[0] for s in style_out]
+    mu_pair = [s[1] for s in style_out]
+    logvar_pair = [s[2] for s in style_out]
+
+    shape_coef = batch["shape_0"][:, 0]  # first frame (training_script.py:91-93)
+    input_shape = jnp.zeros_like(shape_coef) if cfg.do_ignore_shape else shape_coef
+    use_cfg = not cfg.do_ignore_cfg
+
+    losses = {k: jnp.zeros(()) for k in list(weights.keys())}
+    prev_motion = prev_audio = None
+
+    for i in range(2):
+        audio = batch[f"audio_{i}"]
+        motion = motions[i]
+
+        # cross-style swap, one flag per batch (training_script.py:115-118)
+        style = style_pair[i]
+        if cfg.use_cross_style:
+            if train:
+                swap = jax.random.bernoulli(nk(), cfg.prob_cross_style)
+                style = jnp.where(swap, style_pair[1 - i], style)
+            elif eval_always_cross_style:
+                style = style_pair[1 - i]
+
+        # truncation augmentation, one flag per batch (training_script.py:123-128)
+        trunc_prob = cfg.trunc_prob1 if i == 0 else cfg.trunc_prob2
+        audio_t, motion_t, end_rand = truncate_motion_coef_and_audio(
+            nk(), audio, motion, cfg.n_motions, cfg.audio_unit, cfg.pad_mode, expression_code_size=64
+        )
+        do_trunc = jax.random.bernoulli(nk(), trunc_prob)
+        audio_in = jnp.where(do_trunc, audio_t, audio)
+        motion_in = jnp.where(do_trunc, motion_t, motion)
+        # end_idx == n_motions encodes "not truncated" (mask = all ones)
+        end_idx = jnp.where(do_trunc, end_rand, jnp.full_like(end_rand, cfg.n_motions))
+
+        indicator = None
+        if cfg.use_indicator:
+            indicator = (jnp.arange(cfg.n_motions)[None, :] < end_idx[:, None]).astype(jnp.float32)
+
+        rngs = {"diffusion": nk()}
+        if train:
+            rngs["dropout"] = nk()
+            rngs["spec_augment"] = nk()
+
+        fwd_kw = dict(indicator=indicator, train_with_cfg=use_cfg, deterministic=deterministic)
+        if i == 0:
+            eps, target, motion_det, audio_feat_det = model.apply(
+                mvars, motion_in, audio_in, input_shape, style, rngs=rngs, **fwd_kw
+            )
+            # prev-window carry (training_script.py:148-158): always the
+            # FULL window's last n_prev frames; audio features re-extracted
+            # from the untruncated audio only when truncation happened.
+            prev_motion = jax.lax.stop_gradient(motion[:, -cfg.n_prev_motions :])
+            full_audio_feat = jax.lax.cond(
+                do_trunc,
+                lambda a: jax.lax.stop_gradient(
+                    model.apply(mvars, a, method=MSMD.extract_audio_feature, deterministic=True)
+                ),
+                lambda a: audio_feat_det,
+                audio,
+            )
+            prev_audio = full_audio_feat[:, -cfg.n_prev_motions :]
+        else:
+            eps, target, _, _ = model.apply(
+                mvars, motion_in, audio_in, input_shape, style,
+                prev_motion_feat=prev_motion, prev_audio_feat=prev_audio, rngs=rngs, **fwd_kw
+            )
+
+        is_hdtf = cfg.dataset_type[:9] == "HDTF_TFHP" or cfg.dataset_type == "flame_mead_ravdess"
+        if cfg.use_vertex_space and is_hdtf:
+            loss_dict = compute_loss(
+                cfg, i == 0, shape_coef, motion_in, eps, target, prev_motion, None, flame, end_idx
+            )
+        else:
+            loss_dict = compute_loss_no_vert(
+                cfg, i == 0, shape_coef, motion_in, eps, target, prev_motion, None, None, end_idx
+            )
+        loss_dict = dict(loss_dict)
+        loss_dict["kl_div"] = compute_kl_loss(mu_pair[i], logvar_pair[i])
+
+        for k, v in loss_dict.items():
+            if k in weights and weights[k] > 0:
+                losses[k] = losses[k] + v
+
+    total = sum(losses[k] * weights[k] for k in losses if weights[k] > 0)
+    metrics = {k: v for k, v in losses.items() if weights[k] > 0}
+    metrics["loss"] = total
+    return total, metrics
+
+
+def make_train_step(cfg: MSMDConfig, model: MSMD, style_enc, tx: optax.GradientTransformation, flame=None):
+    """Build the jitted, state-donating train step."""
+
+    def step_fn(state: TrainState, batch, key):
+        def loss_fn(params):
+            return two_clip_loss(cfg, model, style_enc, params, batch, key, flame=flame, train=True)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: MSMDConfig, model: MSMD, style_enc, flame=None, do_ignore_style: bool = False):
+    """Jitted eval step (reference test(): training_script.py:244-403 —
+    model in eval mode, cross-style always on when enabled)."""
+
+    def step_fn(params, batch, key):
+        _, metrics = two_clip_loss(
+            cfg, model, style_enc, params, batch, key, flame=flame, train=False,
+            do_ignore_style=do_ignore_style, eval_always_cross_style=cfg.use_cross_style,
+        )
+        return metrics
+
+    return jax.jit(step_fn)

@@ -1,0 +1,177 @@
+"""Training-step tests: single-host step, loss decrease on an overfit
+batch, freezing mask, LR schedule semantics, and the 8-virtual-device
+data-parallel step (gradient psum over the mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from msmd_tpu.config import MSMDConfig
+from msmd_tpu.models.audio import AudioEncoderConfig
+from msmd_tpu.models.diffusion import get_diffusion_model
+from msmd_tpu.models.style_encoder import get_style_encoder
+from msmd_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_sharding, shard_batch
+from msmd_tpu.train.loop import create_train_state, make_eval_step, make_train_step, trainable_mask
+from msmd_tpu.train.scheduler import make_schedule
+
+TINY_AUDIO = AudioEncoderConfig(
+    hidden_size=32,
+    num_layers=2,
+    num_heads=4,
+    intermediate_size=64,
+    conv_dim=(16, 16, 16),
+    conv_kernel=(10, 3, 3),
+    conv_stride=(5, 4, 4),  # stride 80 per 50Hz step? -> see audio_unit note
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        feature_dim=32,
+        n_heads=4,
+        n_layers=2,
+        mlp_ratio=2,
+        d_style=16,
+        n_motions=8,
+        n_prev_motions=4,
+        n_diff_steps=4,
+        num_of_basis=2,
+        use_indicator=True,
+        use_cross_style=True,
+        fps=25,
+        lr=1e-3,
+        warm_iter=2,
+        audio_model="hubert",
+    )
+    base.update(kw)
+    return MSMDConfig(**base)
+
+
+def make_batch(cfg, batch_size=2, seed=0):
+    rng = np.random.RandomState(seed)
+    L_a = cfg.n_audio_samples
+    return {
+        "audio_0": rng.randn(batch_size, L_a).astype(np.float32),
+        "audio_1": rng.randn(batch_size, L_a).astype(np.float32),
+        "motion_0": rng.randn(batch_size, cfg.n_motions, 67).astype(np.float32),
+        "motion_1": rng.randn(batch_size, cfg.n_motions, 67).astype(np.float32),
+        "shape_0": np.zeros((batch_size, cfg.n_motions, 100), np.float32),
+        "shape_1": np.zeros((batch_size, cfg.n_motions, 100), np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    model = get_diffusion_model(cfg, audio_config=TINY_AUDIO)
+    style_enc = get_style_encoder(cfg, "vae2")
+    state, tx = create_train_state(cfg, jax.random.PRNGKey(0), model, style_enc)
+    return cfg, model, style_enc, state, tx
+
+
+def test_train_step_runs_and_updates(setup):
+    cfg, model, style_enc, state, tx = setup
+    step = make_train_step(cfg, model, style_enc, tx)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg).items()}
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+    assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(state2.params["model"])[0])).all()
+
+
+def test_overfit_loss_decreases():
+    cfg = tiny_cfg(use_cross_style=False, trunc_prob1=0.0, trunc_prob2=0.0, do_ignore_cfg=True, lr=5e-4, warm_iter=1)
+    model = get_diffusion_model(cfg, audio_config=TINY_AUDIO)
+    style_enc = get_style_encoder(cfg, "vae2")
+    state, tx = create_train_state(cfg, jax.random.PRNGKey(0), model, style_enc)
+    step = make_train_step(cfg, model, style_enc, tx)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg, seed=3).items()}
+
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))  # fixed rng: same noise each step
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
+
+
+def test_freezing_mask(setup):
+    cfg, model, style_enc, state, tx = setup
+    mask = trainable_mask(cfg, state.params)
+    # conv extractor frozen, hubert layers 0-1 frozen, last layer not
+    assert mask["model"]["audio_encoder"]["feature_extractor"]["conv_0"]["kernel"] is False
+    assert mask["model"]["audio_encoder"]["feature_projection"]["projection"]["kernel"] is False
+    assert mask["model"]["audio_encoder"]["encoder"]["layers_0"]["q_proj"]["kernel"] is False
+    assert mask["model"]["audio_encoder"]["encoder"]["layers_1"]["q_proj"]["kernel"] is False
+    assert mask["model"]["denoising_net"]["person_proj"]["kernel"] is True
+    assert mask["style_enc"]["encoder"]["self_attn"]["q_proj"]["kernel"] is True
+
+
+def test_frozen_params_do_not_move():
+    cfg = tiny_cfg()
+    model = get_diffusion_model(cfg, audio_config=TINY_AUDIO)
+    style_enc = get_style_encoder(cfg, "vae2")
+    state, tx = create_train_state(cfg, jax.random.PRNGKey(0), model, style_enc)
+    frozen_before = np.asarray(state.params["model"]["audio_encoder"]["feature_extractor"]["conv_0"]["kernel"]).copy()
+    live_before = np.asarray(state.params["model"]["denoising_net"]["person_proj"]["kernel"]).copy()
+    step = make_train_step(cfg, model, style_enc, tx)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg).items()}
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    np.testing.assert_array_equal(
+        np.asarray(state.params["model"]["audio_encoder"]["feature_extractor"]["conv_0"]["kernel"]), frozen_before
+    )
+    assert np.abs(np.asarray(state.params["model"]["denoising_net"]["person_proj"]["kernel"]) - live_before).max() > 0
+
+
+def test_eval_step(setup):
+    cfg, model, style_enc, state, tx = setup
+    fresh_state, _ = create_train_state(cfg, jax.random.PRNGKey(0), model, style_enc)
+    ev = make_eval_step(cfg, model, style_enc)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg).items()}
+    metrics = ev(fresh_state.params, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # do_ignore_style ablation
+    ev2 = make_eval_step(cfg, model, style_enc, do_ignore_style=True)
+    m2 = ev2(fresh_state.params, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_schedules():
+    cfg = tiny_cfg(scheduler="Warmup", lr=1e-3, warm_iter=10)
+    s = make_schedule(cfg)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(5)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(s(10)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(s(1000)), 1e-3, rtol=1e-6)
+
+    cfg2 = tiny_cfg(scheduler="WarmupThenDecay", lr=1e-3, warm_iter=10, cos_max_iter=110, min_lr_ratio=0.1)
+    s2 = make_schedule(cfg2)
+    np.testing.assert_allclose(float(s2(10)), 1e-3, rtol=1e-5)
+    np.testing.assert_allclose(float(s2(60)), (1e-4 + 0.5 * 9e-4), rtol=1e-4)  # midpoint
+    np.testing.assert_allclose(float(s2(110)), 1e-4, rtol=1e-4)
+    np.testing.assert_allclose(float(s2(10_000)), 1e-4, rtol=1e-4)  # holds after cos_max
+
+
+def test_data_parallel_step_8_devices():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual CPU devices"
+    cfg = tiny_cfg(batch_size=8)
+    model = get_diffusion_model(cfg, audio_config=TINY_AUDIO)
+    style_enc = get_style_encoder(cfg, "vae2")
+    state, tx = create_train_state(cfg, jax.random.PRNGKey(0), model, style_enc)
+
+    mesh = make_mesh(("data",))
+    assert mesh.devices.size == 8
+    repl = replicate_sharding(mesh)
+    state = jax.device_put(state, repl)
+    batch = shard_batch(make_batch(cfg, batch_size=8), mesh)
+    # every batch leaf is sharded over 'data'
+    assert batch["audio_0"].sharding.spec == batch_sharding(mesh).spec
+
+    step = make_train_step(cfg, model, style_enc, tx)
+    state2, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    # params remain replicated after the update
+    leaf = jax.tree_util.tree_leaves(state2.params["model"])[0]
+    assert leaf.sharding.is_fully_replicated
