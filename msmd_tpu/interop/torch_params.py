@@ -23,7 +23,7 @@ Layout rules:
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -107,12 +107,16 @@ def transformer_decoder(sd: StateDict, prefix: str, n_layers: int) -> dict:
 # HF wav2vec2 / hubert encoders (facebook base checkpoints)
 # ---------------------------------------------------------------------------
 
-def hf_audio_encoder(sd: StateDict, n_layers: int = 12, n_convs: int = 7) -> dict:
+def hf_audio_encoder(sd: StateDict, n_layers: Optional[int] = None, n_convs: Optional[int] = None) -> dict:
     """HF Wav2Vec2Model/HubertModel state_dict -> msmd_tpu AudioEncoder
     params. Handles both naming families (wav2vec2 uses
     ``feature_projection.projection``; both use
     ``encoder.pos_conv_embed.conv`` with weight-norm 'g'/'v' splits or
     the newer parametrizations layout)."""
+    if n_convs is None:
+        n_convs = 1 + max(int(k.split(".")[2]) for k in sd if k.startswith("feature_extractor.conv_layers."))
+    if n_layers is None:
+        n_layers = 1 + max(int(k.split(".")[2]) for k in sd if k.startswith("encoder.layers."))
     p: dict = {"feature_extractor": {}, "feature_projection": {}, "encoder": {}}
 
     for i in range(n_convs):
