@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Headline benchmark: audio -> FLAME motion generation speed per chip.
+
+Workload (BASELINE.json north_star / reference inference path): one
+4-second window (100 frames @ 25 fps) of raw 16 kHz audio through the
+full-size flagship model — hubert-base-architecture audio encoder ONCE,
+then the complete classifier-free-guided DDPM loop (n_diff_steps
+denoiser forwards, 3 CFG entries) as one on-device lax.scan — i.e. the
+per-window cost of `inference.py`.
+
+Reports ONE JSON line:
+  metric       real-time factor (seconds of generated audio-driven
+               motion per wall second, per chip)
+  vs_baseline  ratio against the 50x-real-time target in BASELINE.json
+               (the reference publishes no numbers of its own).
+
+Config via env: MSMD_BENCH_STEPS (default full 500), MSMD_BENCH_REPS
+(batched seeds, default 1), MSMD_BENCH_DTYPE (bfloat16|float32).
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from msmd_tpu.config import MSMDConfig
+    from msmd_tpu.models.diffusion import get_diffusion_model, sample
+    from msmd_tpu.models.style_encoder import get_style_encoder
+
+    n_steps = int(os.environ.get("MSMD_BENCH_STEPS", "500"))
+    n_reps = int(os.environ.get("MSMD_BENCH_REPS", "1"))
+    dtype_name = os.environ.get("MSMD_BENCH_DTYPE", "bfloat16")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    cfg = MSMDConfig(n_diff_steps=n_steps, compute_dtype=dtype_name)
+    model = get_diffusion_model(cfg, dtype=dtype)
+
+    B = n_reps
+    motion = jnp.zeros((B, cfg.n_motions, cfg.motion_feat_dim))
+    audio = jnp.zeros((B, cfg.n_audio_samples))
+    shape = jnp.zeros((B, cfg.shape_feat_dim))
+    style = jnp.zeros((B, cfg.d_style))
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        motion, audio, shape, style, deterministic=True,
+    )
+
+    def generate(variables, key, audio, shape, style):
+        # raw audio in -> motion out: hubert pass + full CFG DDPM scan
+        motion, _, _ = sample(model, variables, key, audio, shape, style, cfg_scale=1.15)
+        return motion
+
+    fn = jax.jit(generate)
+    key = jax.random.PRNGKey(2)
+
+    # warmup/compile
+    out = fn(variables, key, audio, shape, style)
+    out.block_until_ready()
+
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        out = fn(variables, jax.random.fold_in(key, i), audio, shape, style)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    window_seconds = cfg.n_motions / cfg.fps  # 4 s of motion per window
+    rtf = window_seconds * n_reps / dt
+    frames_per_sec = cfg.n_motions * n_reps / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"audio->FLAME motion real-time factor (1 chip, {n_steps} diff steps, batch {n_reps}, {dtype_name})",
+                "value": round(rtf, 3),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / 50.0, 3),
+                "frames_per_sec": round(frames_per_sec, 1),
+                "window_wall_s": round(dt, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -112,6 +112,9 @@ class MSMDConfig:
     flame_model_path: Optional[str] = None  # FLAME generic_model.pkl
     coef_stats_path: Optional[str] = None  # normalization stats pkl/npz
     seed: int = 0
+    # non-default audio-encoder architecture (AudioEncoderConfig kwargs),
+    # persisted through args.json so inference rebuilds the same model
+    audio_encoder_config: Optional[Dict[str, Any]] = None
 
     # -------------------------------------------------------------------
     @property
