@@ -101,6 +101,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--flame_model_path", type=str, default=None)
     parser.add_argument("--tiny_audio_encoder", action="store_true", help="debug-size audio encoder (tests/CI)")
+    parser.add_argument("--audio_weights", type=str, default=None,
+                        help="local HF dir (or cache root) with pretrained wav2vec2/hubert weights")
+    parser.add_argument("--audio_weights_cache", type=str, default=None, help="HF cache root for --audio_weights")
     parser.add_argument("--batch_overfit_size", type=int, default=-1, help="overfit smoke mode: dataset of k items")
     return parser
 
@@ -139,6 +142,13 @@ def main():
         exp_dir.mkdir(parents=True, exist_ok=True)
 
     trainer = Trainer(cfg, exp_dir, audio_config=audio_config, flame=flame)
+    if args.audio_weights:
+        from msmd_tpu.interop.hf_loader import inject_pretrained_audio
+
+        params = dict(trainer.state.params)
+        params["model"] = inject_pretrained_audio(dict(params["model"]), args.audio_weights, args.audio_weights_cache)
+        trainer.state = trainer.state.replace(params=params)
+        print(f"Loaded pretrained audio-encoder weights from {args.audio_weights}")
     if args.continue_from:
         start = trainer.maybe_resume(args.continue_from)
         print(f"Resumed from {args.continue_from} at iteration {start}")
