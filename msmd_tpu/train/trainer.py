@@ -107,7 +107,7 @@ class Trainer:
                 pass  # torch-less host: Orbax checkpoint is authoritative
 
     # ------------------------------------------------------------------
-    def fit(self, train_loader, val_loader=None, max_iter: Optional[int] = None, log_every: Optional[int] = None):
+    def fit(self, train_loader, val_loader=None, max_iter: Optional[int] = None, log_every: Optional[int] = None, profile_dir: Optional[str] = None, profile_steps=(10, 15)):
         cfg = self.cfg
         max_iter = max_iter if max_iter is not None else cfg.max_iter
         log_every = log_every or cfg.log_iter
@@ -115,8 +115,17 @@ class Trainer:
         smooth = defaultdict(lambda: deque(maxlen=cfg.log_smooth_win))
         key = jax.random.PRNGKey(cfg.seed + 1)
         t0 = time.time()
+        profiling = False
 
         for it in range(self.start_iter, max_iter + 1):
+            if profile_dir is not None:
+                if it == profile_steps[0] and not profiling:
+                    jax.profiler.start_trace(str(profile_dir))
+                    profiling = True
+                elif it == profile_steps[1] and profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"Wrote profiler trace to {profile_dir}")
             batch = next(train_loader)
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)

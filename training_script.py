@@ -104,6 +104,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--audio_weights", type=str, default=None,
                         help="local HF dir (or cache root) with pretrained wav2vec2/hubert weights")
     parser.add_argument("--audio_weights_cache", type=str, default=None, help="HF cache root for --audio_weights")
+    parser.add_argument("--profile_dir", type=str, default=None, help="write a jax.profiler trace of steps 10-15 here")
     parser.add_argument("--batch_overfit_size", type=int, default=-1, help="overfit smoke mode: dataset of k items")
     return parser
 
@@ -160,7 +161,7 @@ def main():
 
     if args.mode == "train":
         trainer.cfg.save_args_json(exp_dir)  # incl. any audio-encoder overrides
-        trainer.fit(train_loader, val_loader)
+        trainer.fit(train_loader, val_loader, profile_dir=args.profile_dir)
     else:
         metrics = trainer.evaluate(val_loader, trainer.start_iter, n_rounds=5, mode="test", do_save=True)
         print("Test results:")
