@@ -82,8 +82,14 @@ def save_reference_pt(exp_dir, cfg, model_state_dict: dict, style_enc_state_dict
 
 def load_reference_pt(path) -> Tuple[dict, dict, dict, int]:
     """Read a reference ``.pt`` into ({args...}, model_sd, style_sd, iter)
-    as NumPy dicts."""
-    import torch
+    as NumPy dicts. Uses torch when present; otherwise the torch-free
+    zip/pickle parser (msmd_tpu.interop.torch_pickle)."""
+    try:
+        import torch
+    except ImportError:
+        from msmd_tpu.interop.torch_pickle import load_reference_checkpoint
+
+        return load_reference_checkpoint(path)
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     to_np = lambda sd: {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)) for k, v in sd.items()}
