@@ -18,18 +18,22 @@ Rebuild of the reference denoiser (reference: model.py:820-996):
 
 Everything is a fixed-shape batched matmul program: one forward is
 n_layers x (self-attn + cross-attn + FFN) over 1 + L_p + L tokens, which
-XLA maps straight onto the MXU.
+XLA maps straight onto the MXU. During sampling the cross-attention
+memory (audio features) is constant over all diffusion steps, so its
+per-layer K/V can be precomputed once via ``cache_memory_kv`` and
+passed back in as ``memory_kv`` — saving 2 x n_layers matmuls per
+denoising step inside the sampler's scan.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from msmd_tpu.config import MSMDConfig
-from msmd_tpu.models.transformer import TransformerDecoder
+from msmd_tpu.models.transformer import KVCache, TransformerDecoder
 from msmd_tpu.ops.seq import alignment_mask, apply_pe_single_row, sinusoidal_table
 
 
@@ -74,7 +78,38 @@ class DenoisingNetwork(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.diff_step_map = DiffusionStepEmbedding(
+            cfg.feature_dim, cfg.n_diff_steps, self.dtype, self.param_dtype, name="diff_step_map"
+        )
+        self.person_proj = nn.Dense(cfg.feature_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="person_proj")
+        self.feature_proj = nn.Dense(cfg.feature_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="feature_proj")
+        if not cfg.no_use_learnable_pe:
+            self.PE = self.param(
+                "PE",
+                nn.initializers.normal(stddev=1.0),
+                (1, 1 + cfg.n_prev_motions + cfg.n_motions, cfg.feature_dim),
+                self.param_dtype,
+            )
+        self.transformer = TransformerDecoder(
+            cfg.n_layers, cfg.feature_dim, cfg.n_heads, cfg.mlp_ratio * cfg.feature_dim,
+            0.1, self.dtype, self.param_dtype, name="transformer",
+        )
+        self.static_feature_mappings = [
+            StyleBasisMLP(cfg.feature_dim, cfg.motion_feat_dim, self.dtype, self.param_dtype, name=f"static_feature_mapping_{k}")
+            for k in range(cfg.num_of_basis)
+        ]
+        self.motion_dec_1 = nn.Dense(cfg.feature_dim // 2, dtype=self.dtype, param_dtype=self.param_dtype, name="motion_dec_1")
+        self.motion_dec_2 = nn.Dense(
+            cfg.motion_feat_dim + cfg.num_of_basis, dtype=self.dtype, param_dtype=self.param_dtype, name="motion_dec_2"
+        )
+
+    def cache_memory_kv(self, prev_audio_feat: jnp.ndarray, audio_feat: jnp.ndarray) -> List[KVCache]:
+        """Per-layer K/V of the (constant-per-sampling-run) audio memory."""
+        memory = jnp.concatenate([prev_audio_feat, audio_feat], axis=1).astype(self.dtype)
+        return self.transformer.cache_memory(memory)
+
     def __call__(
         self,
         motion_feat: jnp.ndarray,  # (N, L, d_motion) noisy motion
@@ -87,19 +122,15 @@ class DenoisingNetwork(nn.Module):
         indicator: Optional[jnp.ndarray] = None,  # (N, L) 0/1
         keep_separate: bool = False,
         deterministic: bool = True,
+        memory_kv: Optional[List[KVCache]] = None,
     ):
         cfg = self.cfg
         d_motion = cfg.motion_feat_dim
         n_prev, n_cur = prev_motion_feat.shape[1], motion_feat.shape[1]
 
         # diffusion-step conditioning rides on the person token
-        step_emb = DiffusionStepEmbedding(
-            cfg.feature_dim, cfg.n_diff_steps, self.dtype, self.param_dtype, name="diff_step_map"
-        )(step)[:, None, :]
-        person = nn.Dense(cfg.feature_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="person_proj")(
-            person_feat.astype(self.dtype)
-        )
-        person = person + step_emb
+        step_emb = self.diff_step_map(step)[:, None, :]
+        person = self.person_proj(person_feat.astype(self.dtype)) + step_emb
 
         feats_in = jnp.concatenate([prev_motion_feat, motion_feat], axis=1).astype(self.dtype)
         if cfg.use_indicator:
@@ -109,17 +140,11 @@ class DenoisingNetwork(nn.Module):
                 [jnp.zeros((indicator.shape[0], n_prev), self.dtype), indicator.astype(self.dtype)], axis=1
             )[..., None]
             feats_in = jnp.concatenate([feats_in, ind], axis=-1)
-        feats_in = nn.Dense(cfg.feature_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="feature_proj")(feats_in)
+        feats_in = self.feature_proj(feats_in)
         feats_in = jnp.concatenate([person, feats_in], axis=1)  # (N, 1 + L_p + L, F)
 
         if not cfg.no_use_learnable_pe:
-            pe = self.param(
-                "PE",
-                nn.initializers.normal(stddev=1.0),
-                (1, 1 + cfg.n_prev_motions + cfg.n_motions, cfg.feature_dim),
-                self.param_dtype,
-            )
-            feats_in = feats_in + pe.astype(self.dtype)
+            feats_in = feats_in + self.PE.astype(self.dtype)
         else:
             feats_in = apply_pe_single_row(feats_in, sinusoidal_table(cfg.feature_dim, 600, self.dtype))
 
@@ -127,26 +152,15 @@ class DenoisingNetwork(nn.Module):
         if cfg.align_mask_width > 0:
             memory_mask = alignment_mask(n_prev, n_cur, cfg.align_mask_width)
 
-        memory = jnp.concatenate([prev_audio_feat, audio_feat], axis=1).astype(self.dtype)
-        feat_out = TransformerDecoder(
-            cfg.n_layers,
-            cfg.feature_dim,
-            cfg.n_heads,
-            cfg.mlp_ratio * cfg.feature_dim,
-            0.1,
-            self.dtype,
-            self.param_dtype,
-            name="transformer",
-        )(feats_in, memory, memory_mask, deterministic)
+        memory = None
+        if memory_kv is None:
+            memory = jnp.concatenate([prev_audio_feat, audio_feat], axis=1).astype(self.dtype)
+        feat_out = self.transformer(feats_in, memory, memory_mask, deterministic, memory_kv=memory_kv)
 
         # motion decoder (person token dropped)
-        h = nn.Dense(cfg.feature_dim // 2, dtype=self.dtype, param_dtype=self.param_dtype, name="motion_dec_1")(
-            feat_out[:, 1:]
-        )
+        h = self.motion_dec_1(feat_out[:, 1:])
         h = nn.gelu(h, approximate=False)
-        decoded = nn.Dense(
-            d_motion + cfg.num_of_basis, dtype=self.dtype, param_dtype=self.param_dtype, name="motion_dec_2"
-        )(h)  # (N, L_p + L, d_motion + num_of_basis)
+        decoded = self.motion_dec_2(h)  # (N, L_p + L, d_motion + num_of_basis)
 
         dynamic = decoded[..., : -cfg.num_of_basis]  # (N, L_p+L, d_motion)
         alphas = decoded[..., -cfg.num_of_basis :]  # (N, L_p+L, K)
@@ -154,12 +168,7 @@ class DenoisingNetwork(nn.Module):
             alphas = nn.sigmoid(alphas)
 
         # style-basis static offsets, tiled over time: (N, L_p+L, K, d_motion)
-        statics = []
-        for k in range(cfg.num_of_basis):
-            s = StyleBasisMLP(
-                cfg.feature_dim, d_motion, self.dtype, self.param_dtype, name=f"static_feature_mapping_{k}"
-            )(static_style_feat.astype(self.dtype))  # (N, 1, d_motion)
-            statics.append(s)
+        statics = [m(static_style_feat.astype(self.dtype)) for m in self.static_feature_mappings]
         static = jnp.stack(statics, axis=2)  # (N, 1, K, d_motion)
         static = jnp.broadcast_to(static, (static.shape[0], decoded.shape[1]) + static.shape[2:])
 

@@ -104,11 +104,17 @@ class MSMD(nn.Module):
         indicator=None,
         keep_separate: bool = False,
         deterministic: bool = True,
+        memory_kv=None,
     ):
         return self.denoising_net(
             motion_feat, audio_feat, person_feat, style_feat, prev_motion_feat, prev_audio_feat, step,
-            indicator, keep_separate, deterministic,
+            indicator, keep_separate, deterministic, memory_kv=memory_kv,
         )
+
+    def cache_denoiser_memory_kv(self, prev_audio_feat, audio_feat):
+        """Precompute per-layer cross-attention K/V of the audio memory —
+        constant across all diffusion steps of one sampling run."""
+        return self.denoising_net.cache_memory_kv(prev_audio_feat, audio_feat)
 
     # ------------------------------------------------------------------
     # training forward (reference: model.py:146-248)
@@ -385,6 +391,12 @@ def sample(
     n_motions = motion_at_T.shape[1]
     n_entries = stacks["n_entries"]
 
+    # cross-attention K/V of the audio memory: computed ONCE, reused in
+    # every scan step (the memory never changes during sampling)
+    memory_kv = model.apply(
+        variables, stacks["prev_audio_in"], stacks["audio_in"], method=MSMD.cache_denoiser_memory_kv
+    )
+
     def denoise_apply(motion_in, step_in):
         return model.apply(
             variables,
@@ -396,6 +408,7 @@ def sample(
             stacks["prev_audio_in"],
             step_in,
             stacks["indicator_in"],
+            memory_kv=memory_kv,
             method=MSMD.denoise,
         )
 
@@ -486,6 +499,9 @@ def sample_separate(
     n_motions = motion_at_T.shape[1]
     n_entries = stacks["n_entries"]
     d_motion = cfg.motion_feat_dim
+    memory_kv = model.apply(
+        variables, stacks["prev_audio_in"], stacks["audio_in"], method=MSMD.cache_denoiser_memory_kv
+    )
 
     def combine_static(static, alpha_e):
         if model.use_head_alpha:
@@ -510,7 +526,7 @@ def sample_separate(
         dynamic, static, alpha_t = model.apply(
             variables, motion_in, stacks["audio_in"], stacks["person_in"], stacks["style_in"],
             stacks["prev_motion_in"], stacks["prev_audio_in"], step_in, stacks["indicator_in"],
-            keep_separate=True, method=MSMD.denoise,
+            keep_separate=True, memory_kv=memory_kv, method=MSMD.denoise,
         )
         if alpha_t_modification is not None:
             alpha_t = alpha_t_modification(alpha_t)

@@ -9,16 +9,25 @@ dropout — but as Flax modules whose attention math runs as batched
 einsum/matmul that XLA fuses onto the MXU. Attention masks use the
 torch boolean convention: True = disallowed.
 
+TPU extras the reference doesn't have:
+- cross-attention **memory KV caching**: during DDPM sampling the audio
+  memory is constant across all diffusion steps, so its K/V projections
+  are computed once per window (``TransformerDecoder.cache_memory``)
+  and reused inside the sampling scan instead of 2 x n_layers matmuls
+  per step.
+
 All matmuls honor ``dtype`` (bfloat16 on TPU) while parameters stay in
 ``param_dtype`` (float32): the standard TPU mixed-precision recipe.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+KVCache = Tuple[jnp.ndarray, jnp.ndarray]  # (k, v): (B, L, H, Dh)
 
 
 class MultiHeadAttention(nn.Module):
@@ -35,30 +44,54 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, q, k, v, mask: Optional[jnp.ndarray] = None, deterministic: bool = True):
-        head_dim = self.dim // self.n_heads
+    def setup(self):
         dense = lambda name: nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
-        qh = dense("q_proj")(q)
-        kh = dense("k_proj")(k)
-        vh = dense("v_proj")(v)
+        self.q_proj = dense("q_proj")
+        self.k_proj = dense("k_proj")
+        self.v_proj = dense("v_proj")
+        self.out_proj = dense("out_proj")
+        self.attn_drop = nn.Dropout(self.dropout)
 
-        B, Lq, _ = qh.shape
-        Lk = kh.shape[1]
-        qh = qh.reshape(B, Lq, self.n_heads, head_dim)
-        kh = kh.reshape(B, Lk, self.n_heads, head_dim)
-        vh = vh.reshape(B, Lk, self.n_heads, head_dim)
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
 
-        scale = jnp.asarray(1.0 / head_dim ** 0.5, self.dtype)
+    def project_kv(self, kv_input: jnp.ndarray) -> KVCache:
+        """Precompute the key/value projections for a fixed memory."""
+        B, L, _ = kv_input.shape
+        k = self.k_proj(kv_input).reshape(B, L, self.n_heads, self.head_dim)
+        v = self.v_proj(kv_input).reshape(B, L, self.n_heads, self.head_dim)
+        return k, v
+
+    def __call__(
+        self,
+        q,
+        k=None,
+        v=None,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        kv_cache: Optional[KVCache] = None,
+    ):
+        B, Lq, _ = q.shape
+        qh = self.q_proj(q).reshape(B, Lq, self.n_heads, self.head_dim)
+        if kv_cache is not None:
+            kh, vh = kv_cache
+        else:
+            k = q if k is None else k
+            v = k if v is None else v
+            kh = self.k_proj(k).reshape(B, k.shape[1], self.n_heads, self.head_dim)
+            vh = self.v_proj(v).reshape(B, v.shape[1], self.n_heads, self.head_dim)
+
+        scale = jnp.asarray(1.0 / self.head_dim ** 0.5, self.dtype)
         logits = jnp.einsum("bqhd,bkhd->bhqk", qh * scale, kh)
         if mask is not None:
             # torch convention: boolean True = masked out.
             neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
             logits = jnp.where(mask, neg, logits)
         weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        weights = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
+        weights = self.attn_drop(weights, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh).reshape(B, Lq, self.dim)
-        return dense("out_proj")(out)
+        return self.out_proj(out)
 
 
 class FeedForward(nn.Module):
@@ -89,25 +122,35 @@ class TransformerDecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, memory, memory_mask: Optional[jnp.ndarray] = None, deterministic: bool = True):
+    def setup(self):
+        self.self_attn = MultiHeadAttention(self.dim, self.n_heads, self.dropout, self.dtype, self.param_dtype, name="self_attn")
+        self.cross_attn = MultiHeadAttention(self.dim, self.n_heads, self.dropout, self.dtype, self.param_dtype, name="cross_attn")
+        self.ffn = FeedForward(self.dim, self.ffn_dim, self.dropout, self.dtype, self.param_dtype, name="ffn")
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
-        drop = nn.Dropout(self.dropout)
+        self.norm1 = ln("norm1")
+        self.norm2 = ln("norm2")
+        self.norm3 = ln("norm3")
+        self.drop = nn.Dropout(self.dropout)
 
-        sa = MultiHeadAttention(self.dim, self.n_heads, self.dropout, self.dtype, self.param_dtype, name="self_attn")(
-            x, x, x, deterministic=deterministic
-        )
-        x = ln("norm1")(x + drop(sa, deterministic=deterministic))
+    def memory_kv(self, memory: jnp.ndarray) -> KVCache:
+        return self.cross_attn.project_kv(memory)
 
-        ca = MultiHeadAttention(self.dim, self.n_heads, self.dropout, self.dtype, self.param_dtype, name="cross_attn")(
-            x, memory, memory, mask=memory_mask, deterministic=deterministic
-        )
-        x = ln("norm2")(x + drop(ca, deterministic=deterministic))
+    def __call__(
+        self,
+        x,
+        memory: Optional[jnp.ndarray] = None,
+        memory_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        memory_kv: Optional[KVCache] = None,
+    ):
+        sa = self.self_attn(x, x, x, deterministic=deterministic)
+        x = self.norm1(x + self.drop(sa, deterministic=deterministic))
 
-        ff = FeedForward(self.dim, self.ffn_dim, self.dropout, self.dtype, self.param_dtype, name="ffn")(
-            x, deterministic=deterministic
-        )
-        x = ln("norm3")(x + drop(ff, deterministic=deterministic))
+        ca = self.cross_attn(x, memory, memory, mask=memory_mask, deterministic=deterministic, kv_cache=memory_kv)
+        x = self.norm2(x + self.drop(ca, deterministic=deterministic))
+
+        ff = self.ffn(x, deterministic=deterministic)
+        x = self.norm3(x + self.drop(ff, deterministic=deterministic))
         return x
 
 
@@ -123,12 +166,29 @@ class TransformerDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, memory, memory_mask: Optional[jnp.ndarray] = None, deterministic: bool = True):
-        for i in range(self.n_layers):
-            x = TransformerDecoderLayer(
+    def setup(self):
+        self.layers = [
+            TransformerDecoderLayer(
                 self.dim, self.n_heads, self.ffn_dim, self.dropout, self.dtype, self.param_dtype, name=f"layers_{i}"
-            )(x, memory, memory_mask, deterministic)
+            )
+            for i in range(self.n_layers)
+        ]
+
+    def cache_memory(self, memory: jnp.ndarray) -> List[KVCache]:
+        """Per-layer K/V of a fixed cross-attention memory."""
+        return [layer.memory_kv(memory) for layer in self.layers]
+
+    def __call__(
+        self,
+        x,
+        memory: Optional[jnp.ndarray] = None,
+        memory_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        memory_kv: Optional[List[KVCache]] = None,
+    ):
+        for i, layer in enumerate(self.layers):
+            kv = memory_kv[i] if memory_kv is not None else None
+            x = layer(x, memory, memory_mask, deterministic, memory_kv=kv)
         return x
 
 
