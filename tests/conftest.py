@@ -18,6 +18,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the jitted train/sample programs take
+# minutes to compile on CPU; cache them across test runs/processes
+jax.config.update("jax_compilation_cache_dir", "/tmp/msmd_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import pytest  # noqa: E402
 

@@ -19,6 +19,9 @@ REPO = Path(__file__).resolve().parent.parent
 def run(cmd, **kw):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # share the persistent compilation cache across the CLI subprocesses
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/msmd_jax_cache"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "5"
     return subprocess.run(cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=560, **kw)
 
 
@@ -99,3 +102,25 @@ def test_train_then_infer_cli(e2e_dir):
     assert exp_code.shape == (25, 64)
     assert head_rot.shape == (25, 3)
     assert np.isfinite(exp_code).all() and np.isfinite(head_rot).all()
+
+    # --- resume from the checkpoint and continue one more iteration ------
+    r3 = run(
+        [sys.executable, "training_script.py", "--mode", "train", "--exp_name", "e2e",
+         "--data_root", str(e2e_dir / "data"), "--dataset_type", "tinyset",
+         "--batch_size", "2", "--max_iter", "2", "--save_iter", "1", "--val_iter", "0",
+         "--log_iter", "1", "--lr", "1e-4", "--warm_iter", "1",
+         "--continue_from", str(exp)] + TINY_FLAGS
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    assert "Resumed" in r3.stdout
+    assert (exp / "checkpoints" / "iter_0000002.pt").exists()
+
+    # --- --mode test: eval metrics JSON ----------------------------------
+    r4 = run(
+        [sys.executable, "training_script.py", "--mode", "test", "--exp_name", "e2e",
+         "--data_root", str(e2e_dir / "data"), "--dataset_type", "tinyset",
+         "--batch_size", "2", "--val_iter", "0",
+         "--exp_root", str(e2e_dir / "experiments_test")] + TINY_FLAGS
+    )
+    assert r4.returncode == 0, r4.stderr[-3000:]
+    assert "Test results:" in r4.stdout and "noise" in r4.stdout
