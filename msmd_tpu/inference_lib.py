@@ -133,6 +133,12 @@ def load_model(model_root, model_name: str, iter_num: str, audio_config=None):
         )
 
     ckpt_path = exp_dir / "checkpoints" / f"iter_{iter_num}.pt"
+    if not ckpt_path.exists():
+        available = sorted(p.name for p in (exp_dir / "checkpoints").glob("iter_*.pt"))
+        raise FileNotFoundError(
+            f"Checkpoint not found: {ckpt_path}"
+            + (f" — available: {available}" if available else " — no iter_*.pt checkpoints in this experiment")
+        )
     _, model_sd, style_sd, _ = load_reference_pt(ckpt_path)
 
     from msmd_tpu.models.diffusion import get_diffusion_model

@@ -39,6 +39,17 @@ from msmd_tpu.models.flame import FlameModel, flame_forward
 LOSS_KEYS = ("noise", "vert", "vel", "smooth", "head_angle", "head_vel", "head_smooth", "head_trans")
 
 
+def _decode_vertices(flame, shape, exp, pose):
+    """Dispatch: plain jnp FLAME decode or the fused Pallas kernel
+    (pass a msmd_tpu.ops.pallas.lbs_kernel.FusedFlame as `flame`)."""
+    from msmd_tpu.ops.pallas.lbs_kernel import FusedFlame, flame_vertices_fused
+
+    if isinstance(flame, FusedFlame):
+        return flame_vertices_fused(flame, shape, exp, pose)
+    verts, _, _ = flame_forward(flame, shape, exp, pose)
+    return verts
+
+
 def _criterion(name: str):
     if name.lower() == "l2":
         return lambda a, b: (a - b) ** 2
@@ -224,9 +235,12 @@ def coef_dict_to_vertices(coef_dict, flame: FlameModel, rot_repr: str = "aa", ig
         raise ValueError(f"Unknown rot_repr: {rot_repr}")
     lead_shape = coef_dict["exp"].shape[:-1]
     flat = {k: v.reshape(-1, v.shape[-1]) for k, v in coef_dict.items()}
-    verts, _, _ = flame_forward(
-        flame, flat["shape"], flat["exp"], flat["pose"], ignore_global_rot=ignore_global_rot
-    )
+    from msmd_tpu.ops.pallas.lbs_kernel import FusedFlame, flame_vertices_fused
+
+    if isinstance(flame, FusedFlame):
+        verts = flame_vertices_fused(flame, flat["shape"], flat["exp"], flat["pose"], ignore_global_rot=ignore_global_rot)
+    else:
+        verts, _, _ = flame_forward(flame, flat["shape"], flat["exp"], flat["pose"], ignore_global_rot=ignore_global_rot)
     return verts.reshape(lead_shape + verts.shape[1:])
 
 
@@ -271,10 +285,10 @@ def compute_loss(
         coef_gt = get_coef_dict(motion_coef_gt, shape_coef, coef_stats, with_global_pose=False, rot_repr=cfg.rot_repr)
         coef_pred = get_coef_dict(target, shape_coef, coef_stats, with_global_pose=False, rot_repr=cfg.rot_repr)
         seq_len = target.shape[1]
-        verts_gt, _, _ = flame_forward(
+        verts_gt = _decode_vertices(
             flame, coef_gt["shape"].reshape(-1, 100), coef_gt["exp"].reshape(-1, 50), coef_gt["pose"].reshape(-1, 6)
         )
-        verts_pred, _, _ = flame_forward(
+        verts_pred = _decode_vertices(
             flame, coef_pred["shape"].reshape(-1, 100), coef_pred["exp"].reshape(-1, 50), coef_pred["pose"].reshape(-1, 6)
         )
         verts_gt = verts_gt.reshape(-1, seq_len, verts_gt.shape[-2], 3)

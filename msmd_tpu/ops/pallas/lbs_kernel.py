@@ -49,8 +49,11 @@ class FusedFlame:
     - ``weights_t``: (N_JOINTS, Vp) skinning weights, transposed
     """
 
-    def __init__(self, model: FlameModel, lane: int = 128):
+    def __init__(self, model: FlameModel, lane: int = 128, interpret: bool = False, batch_tile: int = 8, vertex_tile: int = 512):
         self.model = model
+        self.interpret = interpret
+        self.batch_tile = batch_tile
+        self.vertex_tile = vertex_tile
         V = model.n_verts
         self.n_verts = V
         self.vp = _round_up(V, lane)
@@ -193,9 +196,9 @@ def flame_vertices_fused(
     expression_params: jnp.ndarray,
     pose_params: Optional[jnp.ndarray] = None,
     ignore_global_rot: bool = False,
-    batch_tile: int = 8,
-    vertex_tile: int = 512,
-    interpret: bool = False,
+    batch_tile: Optional[int] = None,
+    vertex_tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Drop-in fused replacement for ``flame_forward(...)[0]``:
     (shape (B,100), exp (B,50), pose (B,6)) -> verts (B, V, 3).
@@ -205,6 +208,9 @@ def flame_vertices_fused(
     work; the O(B*V) decode runs in the Pallas kernel.
     """
     model = fused.model
+    batch_tile = fused.batch_tile if batch_tile is None else batch_tile
+    vertex_tile = fused.vertex_tile if vertex_tile is None else vertex_tile
+    interpret = fused.interpret if interpret is None else interpret
     batch_size = shape_params.shape[0]
     dtype = shape_params.dtype
     if pose_params is None:

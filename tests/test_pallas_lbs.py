@@ -55,3 +55,24 @@ def test_fused_lbs_grad_matches_reference(rng_key):
     g_ref = jax.grad(loss_ref, argnums=(0, 1))(exp0, pose0)
     np.testing.assert_allclose(np.asarray(g_fused[0]), np.asarray(g_ref[0]), atol=3e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(g_fused[1]), np.asarray(g_ref[1]), atol=3e-4, rtol=1e-3)
+
+
+def test_vertex_loss_with_fused_flame(rng_key):
+    """compute_loss accepts a FusedFlame drop-in and matches the jnp path."""
+    from msmd_tpu.config import MSMDConfig
+    from msmd_tpu.losses import compute_loss
+
+    cfg = MSMDConfig(n_motions=6, n_prev_motions=3, rot_repr="aa", use_vertex_space=True)
+    model = synthetic_flame(n_verts=128)
+    fused = FusedFlame(model, interpret=True, batch_tile=4, vertex_tile=128)
+    B, L, Lp = 2, cfg.n_motions, cfg.n_prev_motions
+    rs = np.random.RandomState(0)
+    gt = jnp.asarray(rs.randn(B, L, 54).astype(np.float32))
+    target = jnp.asarray(rs.randn(B, Lp + L, 54).astype(np.float32))
+    prev = jnp.asarray(rs.randn(B, Lp, 54).astype(np.float32))
+    shape = jnp.asarray(rs.randn(B, 100).astype(np.float32) * 0.1)
+
+    out_ref = compute_loss(cfg, False, shape, gt, None, target, prev, None, model)
+    out_fused = compute_loss(cfg, False, shape, gt, None, target, prev, None, fused)
+    for k in out_ref:
+        np.testing.assert_allclose(float(out_fused[k]), float(out_ref[k]), rtol=1e-4, atol=1e-6, err_msg=k)

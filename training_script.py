@@ -105,6 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="local HF dir (or cache root) with pretrained wav2vec2/hubert weights")
     parser.add_argument("--audio_weights_cache", type=str, default=None, help="HF cache root for --audio_weights")
     parser.add_argument("--profile_dir", type=str, default=None, help="write a jax.profiler trace of steps 10-15 here")
+    parser.add_argument("--use_fused_lbs", action="store_true", help="vertex loss via the fused Pallas LBS kernel")
     parser.add_argument("--batch_overfit_size", type=int, default=-1, help="overfit smoke mode: dataset of k items")
     return parser
 
@@ -126,6 +127,10 @@ def main():
             from msmd_tpu.models.flame import FLAMEConfig, load_flame
 
             flame = load_flame(FLAMEConfig(flame_model_path=cfg.flame_model_path))
+            if args.use_fused_lbs:
+                from msmd_tpu.ops.pallas.lbs_kernel import FusedFlame
+
+                flame = FusedFlame(flame)
 
     audio_config = None
     if args.tiny_audio_encoder:
