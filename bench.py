@@ -76,6 +76,7 @@ def main():
     )
 
     n_windows = int(os.environ.get("MSMD_BENCH_WINDOWS", "1"))
+    scan_unroll = int(os.environ.get("MSMD_BENCH_UNROLL", "1"))
 
     def generate(variables, key, audio, shape, style):
         # raw audio in -> motion out: hubert pass + full CFG DDPM scan.
@@ -87,6 +88,7 @@ def main():
             motion, _, afeat = sample(
                 model, variables, k, audio, shape, style,
                 prev_motion_feat=prev_m, prev_audio_feat=prev_a, cfg_scale=1.15,
+                scan_unroll=scan_unroll,
             )
             # keep carry dtypes fixed (audio features compute in bf16)
             return (

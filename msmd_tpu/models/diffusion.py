@@ -369,6 +369,7 @@ def sample(
     ret_traj: bool = False,
     guidance_indice: Optional[jnp.ndarray] = None,
     guidance_values: Optional[jnp.ndarray] = None,
+    scan_unroll: int = 1,
 ):
     """DDPM sampling as one ``lax.scan`` over t = T..1.
 
@@ -447,7 +448,7 @@ def sample(
         return (motion_next, k), motion_next if ret_traj else None
 
     ts = jnp.arange(sched.num_steps, 0, -1)
-    (motion_0, _), traj_tail = jax.lax.scan(body, (motion_at_T, key), ts)
+    (motion_0, _), traj_tail = jax.lax.scan(body, (motion_at_T, key), ts, unroll=scan_unroll)
 
     if ret_traj:
         # traj_tail is ordered t = T-1 .. 0; prepend x_T and flip so that
