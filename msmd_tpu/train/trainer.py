@@ -21,7 +21,6 @@ from msmd_tpu.interop.msmd_checkpoint import (
     reference_msmd_to_flax,
     reference_style_enc_to_flax,
 )
-from msmd_tpu.losses import load_loss_weights
 from msmd_tpu.models.diffusion import get_diffusion_model
 from msmd_tpu.models.style_encoder import get_style_encoder
 from msmd_tpu.parallel.mesh import make_mesh, replicate_sharding, shard_batch
@@ -111,7 +110,6 @@ class Trainer:
         cfg = self.cfg
         max_iter = max_iter if max_iter is not None else cfg.max_iter
         log_every = log_every or cfg.log_iter
-        weights = load_loss_weights(cfg)
         smooth = defaultdict(lambda: deque(maxlen=cfg.log_smooth_win))
         key = jax.random.PRNGKey(cfg.seed + 1)
         t0 = time.time()
