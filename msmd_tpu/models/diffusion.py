@@ -252,9 +252,36 @@ def _normalize_cfg(cfg: MSMDConfig, cfg_mode, cfg_cond, cfg_scale):
     return cfg_mode, tuple(cfg_cond), tuple(float(s) for s in cfg_scale)
 
 
-def _build_cfg_stacks(model_cfg, params, audio_feat, shape_feat, style_feat, cfg_mode, cfg_cond):
+def _cfg_coefficients(cfg_mode: str, cfg_scale: Sequence[float], n_entries: int) -> Tuple[float, ...]:
+    """Rewrite the reference's sequential guidance mix (model.py:406-417)
+    as one linear combination target = sum_i c_i * r_i:
+
+      incremental: c_0 = 1-s_0; c_j = s_{j-1}-s_j (middle); c_last = s_last
+      independent: c_0 = 1-sum(s); c_j = s_{j-1}
+
+    Entries with c_i == 0 contribute NOTHING — notably the middle entry
+    whenever consecutive incremental scales are equal, which is the
+    reference's own default (one scalar cfg_scale for both conditions,
+    model.py:294-296) — so the sampler can skip their denoiser compute
+    entirely while producing the exact same result.
+    """
+    if n_entries == 1:
+        return (1.0,)
+    s = list(cfg_scale)
+    if cfg_mode == "incremental":
+        c = [1.0 - s[0]] + [s[j - 1] - s[j] for j in range(1, n_entries - 1)] + [s[-1]]
+    elif cfg_mode == "independent":
+        c = [1.0 - sum(s)] + s
+    else:
+        raise NotImplementedError(f"Unknown cfg_mode {cfg_mode}")
+    return tuple(c)
+
+
+def _build_cfg_stacks(model_cfg, params, audio_feat, shape_feat, style_feat, cfg_mode, cfg_cond, cfg_scale):
     """Stack the CFG entries on the batch axis: [null, (+audio), (+style)]
-    (reference: model.py:336-374). Returns (audio_in, person_in, n_entries)."""
+    (reference: model.py:336-374), DROPPING entries whose combination
+    coefficient is exactly zero (dead compute in the reference).
+    Returns (audio_in, person_in, n_entries_kept, coefficients_kept)."""
     batch_size = audio_feat.shape[0]
     n_motions = audio_feat.shape[1]
     null_audio = jnp.broadcast_to(params["null_audio_feat"], (batch_size, n_motions, params["null_audio_feat"].shape[-1])) if "audio" in cfg_cond else audio_feat
@@ -275,19 +302,27 @@ def _build_cfg_stacks(model_cfg, params, audio_feat, shape_feat, style_feat, cfg
         elif cond == "style":
             audio_in.append(null_audio if cfg_mode == "independent" else audio_feat)
             person_in.append(jnp.concatenate([shape_feat, style_feat], axis=-1))
-    n_entries = len(audio_in)
-    return jnp.concatenate(audio_in, axis=0), jnp.concatenate(person_in, axis=0), n_entries
+
+    coeffs = _cfg_coefficients(cfg_mode, cfg_scale, len(audio_in))
+    kept = [i for i, c in enumerate(coeffs) if c != 0.0] or [len(coeffs) - 1]
+    audio_in = [audio_in[i] for i in kept]
+    person_in = [person_in[i] for i in kept]
+    return (
+        jnp.concatenate(audio_in, axis=0),
+        jnp.concatenate(person_in, axis=0),
+        len(kept),
+        tuple(coeffs[i] for i in kept),
+    )
 
 
-def _cfg_combine(results_entries: jnp.ndarray, cfg_mode: str, cfg_scale: Sequence[float], n_motions: int):
-    """results_entries: (n_entries, B, L_p+L, D) -> guided target
-    (B, n_motions, D) (reference: model.py:406-417)."""
+def _cfg_combine(results_entries: jnp.ndarray, coefficients: Sequence[float], n_motions: int):
+    """results_entries: (n_kept, B, L_p+L, D) -> guided target
+    (B, n_motions, D): sum_i c_i * r_i (exactly the reference's
+    sequential mix at model.py:406-417, see _cfg_coefficients)."""
     tail = results_entries[:, :, -n_motions:]
-    target = tail[0]
-    n_entries = results_entries.shape[0]
-    for i in range(n_entries - 1):
-        base = tail[0] if cfg_mode == "independent" else tail[i]
-        target = target + cfg_scale[i] * (tail[i + 1] - base)
+    target = coefficients[0] * tail[0]
+    for i in range(1, len(coefficients)):
+        target = target + coefficients[i] * tail[i]
     return target
 
 
@@ -334,8 +369,8 @@ def _prepare_sample_inputs(
         key, sub = jax.random.split(key)
         motion_at_T = jax.random.normal(sub, (batch_size, n_motions, cfg.motion_feat_dim))
 
-    audio_in, person_in, n_entries = _build_cfg_stacks(
-        cfg, params, audio_feat, shape_feat, style_feat, cfg_mode, cfg_cond
+    audio_in, person_in, n_entries, coefficients = _build_cfg_stacks(
+        cfg, params, audio_feat, shape_feat, style_feat, cfg_mode, cfg_cond, cfg_scale
     )
     tile = lambda x: jnp.concatenate([x] * n_entries, axis=0)
     stacks = dict(
@@ -346,6 +381,7 @@ def _prepare_sample_inputs(
         indicator_in=tile(indicator) if indicator is not None else None,
         style_in=tile(style_feat),
         n_entries=n_entries,
+        coefficients=coefficients,
     )
     return key, audio_feat, motion_at_T, stacks, (cfg_mode, cfg_cond, cfg_scale)
 
@@ -433,7 +469,7 @@ def sample(
         if dynamic_threshold:
             results = _dynamic_threshold(results, n_motions, dynamic_threshold)
         results = results.reshape((n_entries, batch_size) + results.shape[1:])
-        target_theta = _cfg_combine(results, cfg_mode_n, cfg_scale_n, n_motions)
+        target_theta = _cfg_combine(results, stacks["coefficients"], n_motions)
 
         if cfg.target == "noise":
             c0 = 1.0 / jnp.sqrt(alpha)
@@ -537,10 +573,11 @@ def sample_separate(
             results = _dynamic_threshold(results, n_motions, dynamic_threshold)
 
         reshape_e = lambda x: x.reshape((n_entries, batch_size) + x.shape[1:])
-        target_theta = _cfg_combine(reshape_e(results), cfg_mode_n, cfg_scale_n, n_motions)
-        target_dynamic = _cfg_combine(reshape_e(dynamic), cfg_mode_n, cfg_scale_n, n_motions)
-        target_static = _cfg_combine(reshape_e(static_sum), cfg_mode_n, cfg_scale_n, n_motions)
-        target_alpha = _cfg_combine(reshape_e(alpha_t), cfg_mode_n, cfg_scale_n, n_motions)
+        coeffs = stacks["coefficients"]
+        target_theta = _cfg_combine(reshape_e(results), coeffs, n_motions)
+        target_dynamic = _cfg_combine(reshape_e(dynamic), coeffs, n_motions)
+        target_static = _cfg_combine(reshape_e(static_sum), coeffs, n_motions)
+        target_alpha = _cfg_combine(reshape_e(alpha_t), coeffs, n_motions)
 
         if cfg.target == "noise":
             c0 = 1.0 / jnp.sqrt(alpha)
