@@ -63,6 +63,20 @@ class MultiHeadAttention(nn.Module):
         v = self.v_proj(kv_input).reshape(B, L, self.n_heads, self.head_dim)
         return k, v
 
+    def _fused_qkv(self, x: jnp.ndarray):
+        """Self-attention fast path: one (in, 3F) matmul instead of three
+        (in, F) matmuls — better MXU utilization at small token counts.
+        Same parameters, same math (kernels concatenated at trace time)."""
+        ws, bs = [], []
+        for proj in (self.q_proj, self.k_proj, self.v_proj):
+            p = proj.variables["params"]
+            ws.append(jnp.asarray(p["kernel"]))
+            bs.append(jnp.asarray(p["bias"]))
+        w = jnp.concatenate(ws, axis=1).astype(self.dtype)
+        b = jnp.concatenate(bs).astype(self.dtype)
+        y = x.astype(self.dtype) @ w + b
+        return jnp.split(y, 3, axis=-1)
+
     def __call__(
         self,
         q,
@@ -73,14 +87,21 @@ class MultiHeadAttention(nn.Module):
         kv_cache: Optional[KVCache] = None,
     ):
         B, Lq, _ = q.shape
-        qh = self.q_proj(q).reshape(B, Lq, self.n_heads, self.head_dim)
-        if kv_cache is not None:
-            kh, vh = kv_cache
+        self_attention = (k is None or k is q) and (v is None or v is k or v is q)
+        if self_attention and kv_cache is None and not self.is_initializing():
+            qp, kp, vp = self._fused_qkv(q)
+            qh = qp.reshape(B, Lq, self.n_heads, self.head_dim)
+            kh = kp.reshape(B, Lq, self.n_heads, self.head_dim)
+            vh = vp.reshape(B, Lq, self.n_heads, self.head_dim)
         else:
-            k = q if k is None else k
-            v = k if v is None else v
-            kh = self.k_proj(k).reshape(B, k.shape[1], self.n_heads, self.head_dim)
-            vh = self.v_proj(v).reshape(B, v.shape[1], self.n_heads, self.head_dim)
+            qh = self.q_proj(q).reshape(B, Lq, self.n_heads, self.head_dim)
+            if kv_cache is not None:
+                kh, vh = kv_cache
+            else:
+                k = q if k is None else k
+                v = k if v is None else v
+                kh = self.k_proj(k).reshape(B, k.shape[1], self.n_heads, self.head_dim)
+                vh = self.v_proj(v).reshape(B, v.shape[1], self.n_heads, self.head_dim)
 
         scale = jnp.asarray(1.0 / self.head_dim ** 0.5, self.dtype)
         logits = jnp.einsum("bqhd,bkhd->bhqk", qh * scale, kh)
