@@ -125,6 +125,7 @@ def two_clip_loss(
     train: bool = True,
     do_ignore_style: bool = False,
     eval_always_cross_style: bool = False,
+    coef_stats: Optional[Dict[str, jnp.ndarray]] = None,
 ):
     """Returns (total_loss, per-term dict). Mirrors the two-clip loop of
     train() (training_script.py:109-196) / test() (:270-340)."""
@@ -218,8 +219,10 @@ def two_clip_loss(
 
         is_hdtf = cfg.dataset_type[:9] == "HDTF_TFHP" or cfg.dataset_type == "flame_mead_ravdess"
         if cfg.use_vertex_space and is_hdtf:
+            # coef_stats denormalizes before the FLAME decode
+            # (reference: training_script.py:63-66 -> utils/common.py:487-489)
             loss_dict = compute_loss(
-                cfg, i == 0, shape_coef, motion_in, eps, target, prev_motion, None, flame, end_idx
+                cfg, i == 0, shape_coef, motion_in, eps, target, prev_motion, coef_stats, flame, end_idx
             )
         else:
             loss_dict = compute_loss_no_vert(
@@ -238,12 +241,14 @@ def two_clip_loss(
     return total, metrics
 
 
-def make_train_step(cfg: MSMDConfig, model: MSMD, style_enc, tx: optax.GradientTransformation, flame=None):
+def make_train_step(cfg: MSMDConfig, model: MSMD, style_enc, tx: optax.GradientTransformation, flame=None, coef_stats=None):
     """Build the jitted, state-donating train step."""
 
     def step_fn(state: TrainState, batch, key):
         def loss_fn(params):
-            return two_clip_loss(cfg, model, style_enc, params, batch, key, flame=flame, train=True)
+            return two_clip_loss(
+                cfg, model, style_enc, params, batch, key, flame=flame, train=True, coef_stats=coef_stats
+            )
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -253,7 +258,7 @@ def make_train_step(cfg: MSMDConfig, model: MSMD, style_enc, tx: optax.GradientT
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def make_eval_step(cfg: MSMDConfig, model: MSMD, style_enc, flame=None, do_ignore_style: bool = False):
+def make_eval_step(cfg: MSMDConfig, model: MSMD, style_enc, flame=None, do_ignore_style: bool = False, coef_stats=None):
     """Jitted eval step (reference test(): training_script.py:244-403 —
     model in eval mode, cross-style always on when enabled)."""
 
@@ -261,6 +266,7 @@ def make_eval_step(cfg: MSMDConfig, model: MSMD, style_enc, flame=None, do_ignor
         _, metrics = two_clip_loss(
             cfg, model, style_enc, params, batch, key, flame=flame, train=False,
             do_ignore_style=do_ignore_style, eval_always_cross_style=cfg.use_cross_style,
+            coef_stats=coef_stats,
         )
         return metrics
 

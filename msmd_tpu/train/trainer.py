@@ -30,7 +30,7 @@ from msmd_tpu.utils.logging import MetricWriter
 
 
 class Trainer:
-    def __init__(self, cfg: MSMDConfig, exp_dir, audio_config=None, flame=None, use_mesh: bool = True):
+    def __init__(self, cfg: MSMDConfig, exp_dir, audio_config=None, flame=None, use_mesh: bool = True, coef_stats=None):
         if audio_config is not None and cfg.audio_encoder_config is None:
             import dataclasses
 
@@ -54,8 +54,10 @@ class Trainer:
         if self.mesh is not None:
             self.state = jax.device_put(self.state, replicate_sharding(self.mesh))
 
-        self.train_step = make_train_step(cfg, self.model, self.style_enc, self.tx, flame=flame)
-        self.eval_step = make_eval_step(cfg, self.model, self.style_enc, flame=flame)
+        if coef_stats is not None:
+            coef_stats = {k: jnp.asarray(v) for k, v in coef_stats.items()}
+        self.train_step = make_train_step(cfg, self.model, self.style_enc, self.tx, flame=flame, coef_stats=coef_stats)
+        self.eval_step = make_eval_step(cfg, self.model, self.style_enc, flame=flame, coef_stats=coef_stats)
         self.writer = MetricWriter(self.exp_dir / "logs")
 
     # ------------------------------------------------------------------

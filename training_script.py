@@ -147,7 +147,13 @@ def main():
         exp_dir = Path(args.exp_root) / f"{args.exp_name}-{datetime.now().strftime('%y%m%d_%H%M%S')}"
         exp_dir.mkdir(parents=True, exist_ok=True)
 
-    trainer = Trainer(cfg, exp_dir, audio_config=audio_config, flame=flame)
+    print(f"Loading dataset {cfg.dataset_type} from {cfg.data_root}")
+    train_sets, val_sets, train_loader, val_loader = get_dataset(cfg, batch_overfit_size=args.batch_overfit_size, seed=cfg.seed)
+    # coefficient stats denormalize coefs before the FLAME decode in the
+    # vertex-space loss (reference: training_script.py:63-66)
+    coef_stats = train_sets[0].coef_stats if cfg.use_vertex_space else None
+
+    trainer = Trainer(cfg, exp_dir, audio_config=audio_config, flame=flame, coef_stats=coef_stats)
     if args.audio_weights:
         from msmd_tpu.interop.hf_loader import inject_pretrained_audio
 
@@ -159,8 +165,6 @@ def main():
         start = trainer.maybe_resume(args.continue_from)
         print(f"Resumed from {args.continue_from} at iteration {start}")
 
-    print(f"Loading dataset {cfg.dataset_type} from {cfg.data_root}")
-    train_sets, val_sets, train_loader, val_loader = get_dataset(cfg, batch_overfit_size=args.batch_overfit_size, seed=cfg.seed)
     n_params = sum(x.size for x in __import__("jax").tree_util.tree_leaves(trainer.state.params))
     print(f"Experiment dir: {exp_dir} | params: {n_params:,}")
 
