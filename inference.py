@@ -75,6 +75,15 @@ def main():
     os.makedirs(temp_subfolder, exist_ok=True)
     os.makedirs(os.path.join(save_dir, output_clip_name), exist_ok=True)
 
+    # save the normalized audio for downstream muxing (reference
+    # inference.py:261-262 writes it into temp/)
+    try:
+        from scipy.io import wavfile
+
+        wavfile.write(os.path.join(temp_subfolder, f"{output_clip_name}.wav"), 16000, audio_data)
+    except ImportError:
+        pass
+
     import jax.numpy as jnp
 
     audio_t = jnp.asarray(audio_data)
