@@ -23,8 +23,7 @@ optional dynamic thresholding (model.py:396-402).
 
 from __future__ import annotations
 
-import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
