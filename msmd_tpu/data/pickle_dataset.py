@@ -255,17 +255,26 @@ def pad_or_trim_audio(a: np.ndarray, target: int = 64000) -> np.ndarray:
 
 def collate(batch, audio_target_len: int = 64000) -> Dict[str, np.ndarray]:
     """Fixed-shape batch dict (reference collate: datasets.py:423-505).
-    audio is padded/trimmed to exactly 100 x 640 samples."""
-    out = {
-        "audio_0": np.stack([pad_or_trim_audio(b[0][0], audio_target_len) for b in batch]),
-        "audio_1": np.stack([pad_or_trim_audio(b[0][1], audio_target_len) for b in batch]),
-        "motion_0": np.stack([b[1][0]["motion"] for b in batch]),
-        "motion_1": np.stack([b[1][1]["motion"] for b in batch]),
-        "shape_0": np.stack([b[1][0]["shape"] for b in batch]),
-        "shape_1": np.stack([b[1][1]["shape"] for b in batch]),
-        "audio_mean": np.float32(np.mean([b[2][0] for b in batch])),
-        "audio_std": np.float32(np.mean([b[2][1] for b in batch])),
+    audio is padded/trimmed to exactly 100 x 640 samples. On ragged
+    clips the stack error reports every per-item shape (the reference's
+    only runtime sanitizer, datasets.py:477-493)."""
+    columns = {
+        "audio_0": [pad_or_trim_audio(b[0][0], audio_target_len) for b in batch],
+        "audio_1": [pad_or_trim_audio(b[0][1], audio_target_len) for b in batch],
+        "motion_0": [b[1][0]["motion"] for b in batch],
+        "motion_1": [b[1][1]["motion"] for b in batch],
+        "shape_0": [b[1][0]["shape"] for b in batch],
+        "shape_1": [b[1][1]["shape"] for b in batch],
     }
+    try:
+        out = {k: np.stack(v) for k, v in columns.items()}
+    except ValueError as e:
+        shapes_info = {k: [np.shape(x) for x in v] for k, v in columns.items()}
+        raise ValueError(
+            f"Failed to stack tensors. Shapes: {shapes_info}. Original error: {e}"
+        ) from e
+    out["audio_mean"] = np.float32(np.mean([b[2][0] for b in batch]))
+    out["audio_std"] = np.float32(np.mean([b[2][1] for b in batch]))
     return out
 
 
@@ -322,6 +331,12 @@ class BatchLoader:
 
     def __next__(self) -> Dict[str, np.ndarray]:
         return self._q.get()
+
+    def __len__(self) -> int:
+        """Batches per epoch: the reference DataLoader draws
+        len(dataset) weighted samples per epoch with drop_last=True
+        (datasets.py:80-87), so one epoch = total // batch_size batches."""
+        return self.sampler.total // self.batch_size
 
     def close(self):
         self._stop.set()

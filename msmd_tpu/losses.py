@@ -85,11 +85,14 @@ def _base_mask(cfg, batch_size: int, end_idx, is_starting_sample: bool):
     return mask
 
 
-def _head_trans_loss(crit, head_pose_gt, head_pose_pred, n_prev: int, mask):
-    """Window-boundary continuity (reference: utils/common.py:341-369,
-    537-551): velocities of [gt[-3:], pred[:3]] at frames [2:4] vs [1:3],
-    accelerations consecutive-matched, each masked by the first 2/3
-    current-window frames."""
+def _head_trans_loss(crit, head_pose_gt, head_pose_pred, n_prev: int, mask, masked: bool = True):
+    """Window-boundary continuity: velocities of [gt[-3:], pred[:3]] at
+    frames [2:4] vs [1:3], accelerations consecutive-matched.
+
+    The vertex-space reference masks by the first 2/3 current-window
+    frames (utils/common.py:585-590); the param-space reference takes
+    UNMASKED per-batch means (utils/common.py:352-368,417) — select via
+    ``masked``."""
     assert n_prev >= 3, "head_trans loss requires n_prev_motions >= 3 (reference assumes 10+)"
     trans = jnp.concatenate(
         [head_pose_gt[:, n_prev - 3 : n_prev], head_pose_pred[:, n_prev : n_prev + 3]], axis=1
@@ -98,6 +101,9 @@ def _head_trans_loss(crit, head_pose_gt, head_pose_pred, n_prev: int, mask):
     accel = vel[:, 1:] - vel[:, :-1]  # (B, 4, 3)
     l_vel = crit(vel[:, 2:4], vel[:, 1:3])  # (B, 2, 3)
     l_accel = crit(accel[:, 1:], accel[:, :-1])  # (B, 3, 3)
+    if not masked:
+        # mean_B(l_vel.mean(-1).mean(-1) + l_accel.mean(-1).mean(-1))
+        return l_vel.mean() + l_accel.mean()
     vel_mask = mask[:, n_prev : n_prev + 2]
     accel_mask = mask[:, n_prev : n_prev + 3]
     return _masked_mean(l_vel, vel_mask) + _masked_mean(l_accel, accel_mask)
@@ -170,7 +176,8 @@ def compute_loss_no_vert(
             out["head_smooth"] = _masked_mean(hs, mask[:, 2:]) / 2
         if not is_starting_sample and cfg.l_head_trans > 0:
             # NOTE: head_trans is NOT halved (reference: utils/common.py:435)
-            out["head_trans"] = _head_trans_loss(crit, pose_gt, pose_pred, cfg.n_prev_motions, mask)
+            # and the param-space variant is UNMASKED (utils/common.py:417)
+            out["head_trans"] = _head_trans_loss(crit, pose_gt, pose_pred, cfg.n_prev_motions, mask, masked=False)
     return out
 
 

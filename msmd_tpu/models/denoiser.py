@@ -92,6 +92,10 @@ class DenoisingNetwork(nn.Module):
                 (1, 1 + cfg.n_prev_motions + cfg.n_motions, cfg.feature_dim),
                 self.param_dtype,
             )
+        else:
+            # the reference PositionalEncoding applies dropout(0.1) after
+            # adding the PE row in train mode (utils/model_common.py:99-101)
+            self.pe_dropout = nn.Dropout(0.1)
         self.transformer = TransformerDecoder(
             cfg.n_layers, cfg.feature_dim, cfg.n_heads, cfg.mlp_ratio * cfg.feature_dim,
             0.1, self.dtype, self.param_dtype, name="transformer",
@@ -147,6 +151,7 @@ class DenoisingNetwork(nn.Module):
             feats_in = feats_in + self.PE.astype(self.dtype)
         else:
             feats_in = apply_pe_single_row(feats_in, sinusoidal_table(cfg.feature_dim, 600, self.dtype))
+            feats_in = self.pe_dropout(feats_in, deterministic=deterministic)
 
         memory_mask = None
         if cfg.align_mask_width > 0:

@@ -256,7 +256,15 @@ def _cfg_coefficients(cfg_mode: str, cfg_scale: Sequence[float], n_entries: int)
     as one linear combination target = sum_i c_i * r_i:
 
       incremental: c_0 = 1-s_0; c_j = s_{j-1}-s_j (middle); c_last = s_last
-      independent: c_0 = 1-sum(s); c_j = s_{j-1}
+      independent: nested/aliased update (see below)
+
+    The torch reference's `target_theta = results[0][:, -n_motions:]`
+    is a VIEW, so `target_theta += s_i*(results[i+1] - results[0])`
+    mutates results[0] in place — after step i, "results[0]" IS the
+    accumulated target. The independent loop therefore computes the
+    nested mix t <- (1-s_i)*t + s_i*r_{i+1}, giving
+      c_0 = prod_k (1-s_k);  c_j = s_{j-1} * prod_{k>=j} (1-s_k)
+    (for one condition both forms coincide: (1-s_0, s_0)).
 
     Entries with c_i == 0 contribute NOTHING — notably the middle entry
     whenever consecutive incremental scales are equal, which is the
@@ -270,7 +278,9 @@ def _cfg_coefficients(cfg_mode: str, cfg_scale: Sequence[float], n_entries: int)
     if cfg_mode == "incremental":
         c = [1.0 - s[0]] + [s[j - 1] - s[j] for j in range(1, n_entries - 1)] + [s[-1]]
     elif cfg_mode == "independent":
-        c = [1.0 - sum(s)] + s
+        c = [1.0]
+        for s_i in s:
+            c = [cj * (1.0 - s_i) for cj in c] + [s_i]
     else:
         raise NotImplementedError(f"Unknown cfg_mode {cfg_mode}")
     return tuple(c)
@@ -345,6 +355,15 @@ def _prepare_sample_inputs(
     cfg_mode, cfg_cond, cfg_scale = _normalize_cfg(cfg, cfg_mode, cfg_cond, cfg_scale)
 
     if style_feat is None:
+        # Null-style fallback (reference: model.py:308-310). The null
+        # embedding only exists when 'style' is a guiding condition
+        # (model.py:132-134) — without it the reference AttributeErrors;
+        # we raise a clear error instead.
+        if "null_style_feat" not in params:
+            raise ValueError(
+                "style_feat is required: this model has no null style embedding "
+                "('style' is not in guiding_conditions)"
+            )
         style_feat = jnp.broadcast_to(params["null_style_feat"], (batch_size, 1, cfg.d_style))
     if audio_or_feat.ndim == 2:
         audio_feat = model.apply(variables, audio_or_feat, method=MSMD.extract_audio_feature)

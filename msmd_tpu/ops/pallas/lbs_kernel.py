@@ -161,6 +161,10 @@ def _fused_skin(betas_ext, rt, fused_dirs, template, weights_t, batch_tile: int 
     vp = template.shape[1]
     nb = min(batch_tile, N)
     vt = min(vertex_tile, vp)
+    if vp % vt != 0:
+        # the grid below floors vp/vt; a remainder would leave trailing
+        # vertex tiles unwritten (garbage) — shrink vt to an exact divisor
+        vt = next(d for d in range(vt, 0, -1) if vp % d == 0)
     # pad batch to a tile multiple
     n_pad = _round_up(N, nb)
     if n_pad != N:

@@ -70,20 +70,25 @@ def make_optimizer(cfg: MSMDConfig, params) -> optax.GradientTransformation:
     """Adam (torch defaults) on the warmup(+cosine) schedule, with frozen
     subtrees masked out and optional gradient accumulation.
 
-    NOTE: the reference accumulates gradient SUMS over
-    ``gradient_accumulation_steps`` (plain ``loss.backward()`` per iter);
-    optax.MultiSteps averages — equivalent up to an lr factor and
-    identical at the default accum=1."""
+    The reference accumulates gradient SUMS over
+    ``gradient_accumulation_steps`` (plain ``loss.backward()`` per iter,
+    no loss scaling — training_script.py:195-201). optax.MultiSteps
+    *averages* the k micro-grads, so we pre-scale by k inside the inner
+    transform: Adam then sees k * mean == sum, exactly the reference."""
     labels = jax.tree_util.tree_map(lambda t: "train" if t else "freeze", trainable_mask(cfg, params))
-    tx = optax.multi_transform(
-        {
-            "train": optax.adam(learning_rate=make_schedule(cfg), b1=0.9, b2=0.999, eps=1e-8),
-            "freeze": optax.set_to_zero(),
-        },
-        labels,
-    )
-    if cfg.gradient_accumulation_steps > 1:
-        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    accum = cfg.gradient_accumulation_steps
+    schedule = make_schedule(cfg)
+    if accum > 1:
+        # the reference steps its LR scheduler every micro-iteration
+        # (training_script.py:222-224) while the optimizer steps every k;
+        # MultiSteps advances Adam's count once per k, so stretch it back.
+        inner_schedule, schedule = schedule, (lambda count: inner_schedule(count * accum))
+    adam = optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
+    if accum > 1:
+        adam = optax.chain(optax.scale(float(accum)), adam)
+    tx = optax.multi_transform({"train": adam, "freeze": optax.set_to_zero()}, labels)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, accum)
     return tx
 
 
@@ -173,16 +178,22 @@ def two_clip_loss(
             elif eval_always_cross_style:
                 style = style_pair[1 - i]
 
-        # truncation augmentation, one flag per batch (training_script.py:123-128)
-        trunc_prob = cfg.trunc_prob1 if i == 0 else cfg.trunc_prob2
-        audio_t, motion_t, end_rand = truncate_motion_coef_and_audio(
-            nk(), audio, motion, cfg.n_motions, cfg.audio_unit, cfg.pad_mode, expression_code_size=64
-        )
-        do_trunc = jax.random.bernoulli(nk(), trunc_prob)
-        audio_in = jnp.where(do_trunc, audio_t, audio)
-        motion_in = jnp.where(do_trunc, motion_t, motion)
-        # end_idx == n_motions encodes "not truncated" (mask = all ones)
-        end_idx = jnp.where(do_trunc, end_rand, jnp.full_like(end_rand, cfg.n_motions))
+        # truncation augmentation, one flag per batch (training_script.py:123-128).
+        # TRAIN ONLY: the reference test() never truncates (audio_in=audio,
+        # end_idx=None, indicator all ones — training_script.py:317-323).
+        if train:
+            trunc_prob = cfg.trunc_prob1 if i == 0 else cfg.trunc_prob2
+            audio_t, motion_t, end_rand = truncate_motion_coef_and_audio(
+                nk(), audio, motion, cfg.n_motions, cfg.audio_unit, cfg.pad_mode, expression_code_size=64
+            )
+            do_trunc = jax.random.bernoulli(nk(), trunc_prob)
+            audio_in = jnp.where(do_trunc, audio_t, audio)
+            motion_in = jnp.where(do_trunc, motion_t, motion)
+            # end_idx == n_motions encodes "not truncated" (mask = all ones)
+            end_idx = jnp.where(do_trunc, end_rand, jnp.full_like(end_rand, cfg.n_motions))
+        else:
+            audio_in, motion_in = audio, motion
+            end_idx = jnp.full((batch_size,), cfg.n_motions, jnp.int32)
 
         indicator = None
         if cfg.use_indicator:
@@ -200,16 +211,20 @@ def two_clip_loss(
             )
             # prev-window carry (training_script.py:148-158): always the
             # FULL window's last n_prev frames; audio features re-extracted
-            # from the untruncated audio only when truncation happened.
+            # from the untruncated audio only when truncation happened
+            # (eval never truncates, so the carry is the forward's output).
             prev_motion = jax.lax.stop_gradient(motion[:, -cfg.n_prev_motions :])
-            full_audio_feat = jax.lax.cond(
-                do_trunc,
-                lambda a: jax.lax.stop_gradient(
-                    model.apply(mvars, a, method=MSMD.extract_audio_feature, deterministic=True)
-                ),
-                lambda a: audio_feat_det,
-                audio,
-            )
+            if train:
+                full_audio_feat = jax.lax.cond(
+                    do_trunc,
+                    lambda a: jax.lax.stop_gradient(
+                        model.apply(mvars, a, method=MSMD.extract_audio_feature, deterministic=True)
+                    ),
+                    lambda a: audio_feat_det,
+                    audio,
+                )
+            else:
+                full_audio_feat = audio_feat_det
             prev_audio = full_audio_feat[:, -cfg.n_prev_motions :]
         else:
             eps, target, _, _ = model.apply(

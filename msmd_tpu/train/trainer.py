@@ -155,9 +155,19 @@ class Trainer:
         return self.state
 
     # ------------------------------------------------------------------
-    def evaluate(self, val_loader, iteration: int, n_rounds: int = 10, mode: str = "val", n_batches_per_round: int = 8, do_save: bool = False, save_path=None) -> Dict[str, float]:
+    def evaluate(self, val_loader, iteration: int, n_rounds: int = 10, mode: str = "val", n_batches_per_round: Optional[int] = None, do_save: bool = False, save_path=None) -> Dict[str, float]:
         """Validation over the loader (reference: training_script.py:244-403);
-        writes mean/std/n JSON when do_save."""
+        writes mean/std/n JSON when do_save.
+
+        Per reference semantics, each round iterates one full val epoch
+        (len(val_dataset)//batch_size weighted batches,
+        training_script.py:265-268). Pass ``n_batches_per_round`` to cap
+        it (fast path for periodic in-training validation)."""
+        if n_batches_per_round is None:
+            try:
+                n_batches_per_round = max(len(val_loader), 1)
+            except TypeError:
+                n_batches_per_round = 8  # loader without a length: fast path
         key = jax.random.PRNGKey(1234 + iteration)
         log = defaultdict(list)
         for _ in range(n_rounds):

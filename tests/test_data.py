@@ -61,6 +61,19 @@ def test_fps_resampling(synth_root):
     assert n25 == int(round(n30 / 30 * 25))
 
 
+def test_collate_ragged_shapes_diagnostic(synth_root):
+    """Ragged clips raise with every per-item shape listed
+    (reference sanitizer: datasets.py:477-493)."""
+    ds = MotionClipDataset(
+        synth_root / "tinyset.pkl", synth_root / "tinyset_keys_train.txt",
+        original_fps=30, coef_fps=25, n_motions=100, clip_len=100,
+    )
+    a, b = ds[0], ds[1 % len(ds)]
+    bad = (b[0], ({"motion": b[1][0]["motion"][:-1], "shape": b[1][0]["shape"]}, b[1][1]), b[2])
+    with pytest.raises(ValueError, match="Failed to stack tensors"):
+        collate([a, bad])
+
+
 def test_collate_fixed_shapes(synth_root):
     ds = MotionClipDataset(
         synth_root / "tinyset.pkl", synth_root / "tinyset_keys_train.txt",

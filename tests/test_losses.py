@@ -79,9 +79,9 @@ def torch_loss_no_vert_oracle(cfg, is_starting, gt, target, prev, end_idx):
         a = v[:, 1:] - v[:, :-1]
         lv = crit(v[:, 2:4], v[:, 1:3])
         la = crit(a[:, 1:], a[:, :-1])
-        vm = mask[:, cfg.n_prev_motions : cfg.n_prev_motions + 2]
-        am = mask[:, cfg.n_prev_motions : cfg.n_prev_motions + 3]
-        out["head_trans"] = lv[vm].mean() + la[am].mean()
+        # param-space head_trans is UNMASKED per-batch means
+        # (reference: utils/common.py:352-368, 417)
+        out["head_trans"] = (lv.mean(-1).mean(-1) + la.mean(-1).mean(-1)).mean()
     return {k: float(v) for k, v in out.items()}
 
 

@@ -29,7 +29,12 @@ def test_cfg_coefficients():
     # incremental, equal scales: middle coefficient is exactly 0
     assert _cfg_coefficients("incremental", (1.4, 1.4), 3) == (1 - 1.4, 0.0, 1.4)
     assert _cfg_coefficients("incremental", (1.2, 1.1), 3) == (1 - 1.2, pytest.approx(0.1), 1.1)
-    assert _cfg_coefficients("independent", (1.2, 1.1), 3) == (pytest.approx(1 - 2.3), 1.2, 1.1)
+    # independent: torch's in-place += aliases results[0] with the target,
+    # so the coefficients are the nested form (1-s1)(1-s0), (1-s1)s0, s1
+    assert _cfg_coefficients("independent", (1.2, 1.1), 3) == (
+        pytest.approx((1 - 1.2) * (1 - 1.1)), pytest.approx(1.2 * (1 - 1.1)), 1.1,
+    )
+    assert _cfg_coefficients("independent", (1.3,), 2) == (pytest.approx(-0.3), 1.3)
     assert _cfg_coefficients("incremental", (1.3,), 2) == (pytest.approx(-0.3), 1.3)
     assert _cfg_coefficients("independent", (), 1) == (1.0,)
 
@@ -109,10 +114,14 @@ def test_scan_sampler_equals_reference_loop(cfg_mode, scales):
         )
         results = list(results.reshape((n_entries, B) + results.shape[1:])[:, :, -cfg.n_motions :])
 
-        # the reference's sequential guidance mix (model.py:406-417)
+        # the reference's sequential guidance mix (model.py:406-417).
+        # NB: in torch, target_theta is a VIEW of results[0], so the
+        # in-place += makes "results[0]" on later iterations read the
+        # accumulated target — i.e. independent mode is the nested
+        # update t <- t + s_i*(r_{i+1} - t), not a linear one.
         target = results[0]
         for i in range(n_entries - 1):
-            base = results[0] if cfg_mode == "independent" else results[i]
+            base = target if cfg_mode == "independent" else results[i]
             target = target + cfg_scale[i] * (results[i + 1] - base)
 
         alpha = sched.alphas[t]
@@ -123,3 +132,38 @@ def test_scan_sampler_equals_reference_loop(cfg_mode, scales):
         x = c0 * x + c1 * target + sigma * z
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(x), atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("conds", ["", "audio", "style", "style,audio"])
+def test_sampler_condition_subsets(conds):
+    """Sampling works for every guiding_conditions subset
+    (reference: model.py:128-137, 304-334). With 'style' guided, a None
+    style_feat falls back to the null embedding; without it, passing
+    style_feat is mandatory (the model still concatenates it into the
+    person feature since use_style is always True for MSMD)."""
+    cfg = tiny_cfg(guiding_conditions=conds)
+    model = get_diffusion_model(cfg)
+    B = 2
+    audio_feat = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.n_motions, cfg.feature_dim))
+    shape = jnp.zeros((B, 100))
+    style = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.d_style))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(3)},
+        jax.random.normal(jax.random.PRNGKey(4), (B, cfg.n_motions, 67)),
+        audio_feat, shape, style, deterministic=True,
+    )
+    params = variables["params"]
+    assert ("null_style_feat" in params) == ("style" in conds)
+    assert ("null_audio_feat" in params) == ("audio" in conds)
+
+    motion, _, _ = sample(model, variables, jax.random.PRNGKey(7), audio_feat, shape, style)
+    assert motion.shape == (B, cfg.n_motions, cfg.motion_feat_dim)
+    assert np.isfinite(np.asarray(motion)).all()
+
+    if "style" in conds:
+        # None style -> null-style fallback still samples
+        motion2, _, _ = sample(model, variables, jax.random.PRNGKey(7), audio_feat, shape, None)
+        assert np.isfinite(np.asarray(motion2)).all()
+    else:
+        with pytest.raises(ValueError, match="style_feat is required"):
+            sample(model, variables, jax.random.PRNGKey(7), audio_feat, shape, None)

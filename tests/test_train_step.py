@@ -96,6 +96,64 @@ def test_overfit_loss_decreases():
     assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
 
 
+def test_grad_accum_sums_like_reference():
+    """accum=2: two micro-batch grads must be applied as their SUM
+    (reference does plain loss.backward() per iter with no scaling,
+    then optimizer.step() every k iters — training_script.py:195-201)."""
+    import optax
+    from msmd_tpu.train.loop import make_optimizer, two_clip_loss
+
+    cfg = tiny_cfg(gradient_accumulation_steps=2, warm_iter=1, lr=1e-3)
+    model = get_diffusion_model(cfg, audio_config=TINY_AUDIO)
+    style_enc = get_style_encoder(cfg, "vae2")
+    state, tx = create_train_state(cfg, jax.random.PRNGKey(0), model, style_enc)
+
+    def grads_of(batch, key):
+        def loss_fn(params):
+            return two_clip_loss(cfg, model, style_enc, params, batch, key, train=True)
+
+        (_, _), g = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return g
+
+    b1 = {k: jnp.asarray(v) for k, v in make_batch(cfg, seed=1).items()}
+    b2 = {k: jnp.asarray(v) for k, v in make_batch(cfg, seed=2).items()}
+    g1, g2 = grads_of(b1, jax.random.PRNGKey(1)), grads_of(b2, jax.random.PRNGKey(2))
+
+    # framework path: two accumulated micro-steps
+    opt_state = tx.init(state.params)
+    u1, opt_state = tx.update(g1, opt_state, state.params)
+    u2, opt_state = tx.update(g2, opt_state, state.params)
+    accum_params = optax.apply_updates(optax.apply_updates(state.params, u1), u2)
+
+    # oracle: one Adam step on the SUMMED grads (same masking)
+    cfg1 = tiny_cfg(gradient_accumulation_steps=1, warm_iter=1, lr=1e-3)
+    tx_ref = make_optimizer(cfg1, state.params)
+    g_sum = jax.tree_util.tree_map(lambda a, b: a + b, g1, g2)
+    u_ref, _ = tx_ref.update(g_sum, tx_ref.init(state.params), state.params)
+    ref_params = optax.apply_updates(state.params, u_ref)
+
+    flat_a = jax.tree_util.tree_leaves(accum_params)
+    flat_r = jax.tree_util.tree_leaves(ref_params)
+    for a, r in zip(flat_a, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-6, rtol=1e-5)
+
+
+def test_eval_never_truncates():
+    """Eval metrics must be identical whatever trunc_prob is — the
+    reference test() never truncates (training_script.py:317-323)."""
+    base = dict(use_cross_style=False, do_ignore_cfg=True)
+    cfg_a = tiny_cfg(trunc_prob1=1.0, trunc_prob2=1.0, **base)
+    cfg_b = tiny_cfg(trunc_prob1=0.0, trunc_prob2=0.0, **base)
+    model = get_diffusion_model(cfg_a, audio_config=TINY_AUDIO)
+    style_enc = get_style_encoder(cfg_a, "vae2")
+    state, _ = create_train_state(cfg_a, jax.random.PRNGKey(0), model, style_enc)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg_a, seed=5).items()}
+    m_a = make_eval_step(cfg_a, model, style_enc)(state.params, batch, jax.random.PRNGKey(9))
+    m_b = make_eval_step(cfg_b, model, style_enc)(state.params, batch, jax.random.PRNGKey(9))
+    for k in m_a:
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]), rtol=1e-6)
+
+
 def test_freezing_mask(setup):
     cfg, model, style_enc, state, tx = setup
     mask = trainable_mask(cfg, state.params)
