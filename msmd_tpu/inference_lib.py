@@ -42,8 +42,14 @@ def infer_coeffs(
     cfg_scale: float = 1.15,
     include_shape: bool = False,
     dynamic_threshold: Optional[Tuple[float, float, float]] = (0, 1, 4),
+    motion_at_T: Optional[jnp.ndarray] = None,
+    noise_override: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Returns motion coefficients (n_repetitions, clip_frames, 67)."""
+    """Returns motion coefficients (n_repetitions, clip_frames, 67).
+
+    ``motion_at_T`` / ``noise_override`` optionally pin the initial noise
+    and the (T, R, n_motions, D) per-step z (reused across windows, like
+    the reference's noise reuse) for cross-framework parity runs."""
     cfg = model.cfg
     clip_len = int(len(audio) / 16000 * cfg.fps)
     stride = cfg.n_motions
@@ -66,9 +72,10 @@ def infer_coeffs(
     sample_fn = partial(
         sample, model, variables,
         cfg_mode=cfg_mode, cfg_cond=cfg_cond, cfg_scale=cfg_scale, dynamic_threshold=dynamic_threshold,
+        noise_override=noise_override,
     )
     # two compiled programs, reused across all windows (same shapes)
-    first_fn = jax.jit(lambda k, a, s, st, ind: sample_fn(k, a, s, st, indicator=ind))
+    first_fn = jax.jit(lambda k, a, s, st, ind: sample_fn(k, a, s, st, indicator=ind, motion_at_T=motion_at_T))
     cont_fn = jax.jit(
         lambda k, a, s, st, pm, pa, nz, ind: sample_fn(
             k, a, s, st, prev_motion_feat=pm, prev_audio_feat=pa, motion_at_T=nz, indicator=ind

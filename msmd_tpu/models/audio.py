@@ -154,7 +154,8 @@ class AudioEncoderLayer(nn.Module):
         v = dense(c.hidden_size, "v_proj")(x).reshape(B, L, c.num_heads, head_dim)
         scale = jnp.asarray(head_dim ** -0.5, self.dtype)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        # softmax in >= f32 (upcast bf16, but never downcast f64)
+        weights = nn.softmax(logits.astype(jnp.promote_types(logits.dtype, jnp.float32)), axis=-1).astype(self.dtype)
         attn = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(B, L, c.hidden_size)
         attn = dense(c.hidden_size, "out_proj")(attn)
         x = residual + nn.Dropout(self.dropout)(attn, deterministic=deterministic)

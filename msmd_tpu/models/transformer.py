@@ -109,7 +109,8 @@ class MultiHeadAttention(nn.Module):
             # torch convention: boolean True = masked out.
             neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
             logits = jnp.where(mask, neg, logits)
-        weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        # softmax in >= f32 (upcast bf16, but never downcast f64)
+        weights = nn.softmax(logits.astype(jnp.promote_types(logits.dtype, jnp.float32)), axis=-1).astype(self.dtype)
         weights = self.attn_drop(weights, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh).reshape(B, Lq, self.dim)
         return self.out_proj(out)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -111,11 +112,14 @@ def linear_interpolate(features: jnp.ndarray, output_len: int) -> jnp.ndarray:
     if output_len == in_len:
         return features
     scale = in_len / output_len
-    src = (jnp.arange(output_len, dtype=jnp.float32) + 0.5) * scale - 0.5
+    # coordinate math in f64 (static shapes -> constant-folded at trace
+    # time): f32 coords introduce ~1e-5 lerp-weight error vs torch
+    coord_dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    src = (jnp.arange(output_len, dtype=coord_dt) + 0.5) * scale - 0.5
     src = jnp.clip(src, 0.0, float(in_len - 1))
     i0 = jnp.floor(src).astype(jnp.int32)
     i1 = jnp.minimum(i0 + 1, in_len - 1)
-    w = (src - i0.astype(jnp.float32)).astype(features.dtype)
+    w = (src - i0.astype(coord_dt)).astype(features.dtype)
     f0 = features[..., i0]
     f1 = features[..., i1]
     return f0 + (f1 - f0) * w

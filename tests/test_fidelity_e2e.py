@@ -1,0 +1,151 @@
+"""End-to-end cross-framework fidelity: the complete generation path
+(raw audio -> windowed autoregressive CFG DDPM -> motion coefficients)
+must be SEMANTICALLY IDENTICAL to a full PyTorch oracle of the reference
+(reference: inference.py:35-75 + model.py:282-440) when both run with
+identical weights and identical noise.
+
+Methodology (see PARITY_CERT.md): the DDPM reverse process amplifies
+per-step float error exponentially (measured gain ~2x/step), so f32
+bitwise parity over many steps is impossible for ANY two
+implementations — including two builds of the reference itself. The
+certificate therefore proves equivalence in float64, where both
+frameworks agree to ~1e-9 over the full 3-window pipeline; the f32
+divergence is reported (scripts/fidelity_certificate.py) next to a
+chaos control of the same magnitude.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from msmd_tpu.config import MSMDConfig
+from msmd_tpu.inference_lib import infer_coeffs
+from msmd_tpu.interop.msmd_checkpoint import flax_to_reference_msmd
+from msmd_tpu.interop.torch_oracle import build_torch_msmd, torch_infer_coeffs
+from msmd_tpu.models.audio import AudioEncoderConfig
+from msmd_tpu.models.diffusion import get_diffusion_model
+
+TINY_AUDIO = AudioEncoderConfig(
+    hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+    conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3), conv_stride=(5, 4, 4),
+)
+
+
+def hf_kwargs_from(ac: AudioEncoderConfig) -> dict:
+    return dict(
+        hidden_size=ac.hidden_size,
+        num_hidden_layers=ac.num_layers,
+        num_attention_heads=ac.num_heads,
+        intermediate_size=ac.intermediate_size,
+        conv_dim=list(ac.conv_dim),
+        conv_kernel=list(ac.conv_kernel),
+        conv_stride=list(ac.conv_stride),
+        num_conv_pos_embeddings=ac.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=ac.num_conv_pos_embedding_groups,
+        feat_extract_norm="group",
+        do_stable_layer_norm=False,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+    )
+
+
+@pytest.fixture
+def x64():
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+def run_both(cfg, n_windows_f=2.5, seed=0, cfg_mode=None, f64=True):
+    jdt = jnp.float64 if f64 else jnp.float32
+    ndt = np.float64 if f64 else np.float32
+    prev_default = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64 if f64 else torch.float32)
+    try:
+        return _run_both(cfg, n_windows_f, seed, cfg_mode, f64, jdt, ndt)
+    finally:
+        torch.set_default_dtype(prev_default)
+
+
+def _run_both(cfg, n_windows_f, seed, cfg_mode, f64, jdt, ndt):
+    model = get_diffusion_model(cfg, audio_config=TINY_AUDIO, dtype=jdt, param_dtype=jdt)
+    rs = np.random.RandomState(seed)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(seed), "diffusion": jax.random.PRNGKey(1)},
+        jnp.zeros((1, cfg.n_motions, cfg.motion_feat_dim), jdt),
+        jnp.zeros((1, cfg.n_audio_samples), jdt),
+        jnp.zeros((1, 100), jdt), jnp.zeros((1, cfg.d_style), jdt), deterministic=True,
+    )
+    params = jax.device_get(variables["params"])
+
+    oracle = build_torch_msmd(cfg, hf_kwargs_from(TINY_AUDIO))
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in flax_to_reference_msmd(params, cfg).items()}
+    missing, unexpected = oracle.load_state_dict(sd, strict=False)
+    # HF adds extra non-reference buffers in some versions; nothing of
+    # ours may be missing and nothing unexpected may be left over.
+    assert not unexpected, unexpected
+    assert all("masked_spec_embed" in k or "position_ids" in k for k in missing), missing
+    oracle = oracle.double() if f64 else oracle.float()
+    oracle.eval()
+
+    audio = (rs.randn(int(n_windows_f * cfg.n_audio_samples)) * 0.1).astype(ndt)
+    shape = (rs.randn(1, 100) * 0.1).astype(ndt)
+    style = rs.randn(1, cfg.d_style).astype(ndt)
+    motion_at_T = rs.randn(1, cfg.n_motions, cfg.motion_feat_dim).astype(ndt)
+    z_seq = rs.randn(cfg.n_diff_steps, 1, cfg.n_motions, cfg.motion_feat_dim).astype(ndt)
+
+    ours = infer_coeffs(
+        model, variables, jax.random.PRNGKey(99), jnp.asarray(audio), jnp.asarray(shape),
+        style_feats=jnp.asarray(style), cfg_mode=cfg_mode,
+        motion_at_T=jnp.asarray(motion_at_T), noise_override=jnp.asarray(z_seq),
+    )
+    theirs = torch_infer_coeffs(
+        oracle, cfg, audio, shape, style,
+        torch.from_numpy(motion_at_T), torch.from_numpy(z_seq), cfg_mode=cfg_mode,
+    )
+    return np.asarray(ours[0]), theirs[0].numpy()
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        feature_dim=32, n_heads=4, n_layers=2, mlp_ratio=2, d_style=16,
+        n_motions=8, n_prev_motions=4, n_diff_steps=8, num_of_basis=2, use_indicator=True,
+    )
+    base.update(kw)
+    return MSMDConfig(**base)
+
+
+def test_e2e_generation_matches_torch_oracle_f64(x64):
+    cfg = tiny_cfg()
+    ours, theirs = run_both(cfg)
+    # 3 windows incl. padded tail: 2.5 windows of audio -> 20 frames
+    assert ours.shape == theirs.shape == (20, cfg.motion_feat_dim)
+    max_err = float(np.abs(ours - theirs).max())
+    assert max_err < 1e-7, f"e2e semantic mismatch in f64: max={max_err:.3e}"
+
+
+def test_e2e_generation_matches_torch_oracle_independent_mode(x64):
+    """independent-mode CFG exercises the reference's view-aliasing mix
+    (ADVICE r1 high finding) end to end."""
+    cfg = tiny_cfg(n_diff_steps=4)
+    ours, theirs = run_both(cfg, n_windows_f=1.0, cfg_mode="independent")
+    assert float(np.abs(ours - theirs).max()) < 1e-7
+
+
+def test_f32_divergence_is_chaos_not_bug(x64):
+    """In f32 the two frameworks diverge — but by the same amount that
+    the torch oracle diverges from ITSELF in f64 (per-step float noise
+    amplified by the reverse process). This pins the f32 gap on
+    arithmetic chaos, not semantics."""
+    cfg = tiny_cfg()
+    ours32, theirs32 = run_both(cfg, f64=False)
+    _, theirs64 = run_both(cfg, f64=True)
+    cross = float(np.abs(ours32 - theirs32).max())
+    self_chaos = float(np.abs(theirs32 - theirs64).max())
+    # divergence between frameworks is within ~10x of torch's own
+    # f32-vs-f64 divergence (both are float-chaos scale, >> 1e-6)
+    assert cross < max(10.0 * self_chaos, 1e-4), (cross, self_chaos)

@@ -74,57 +74,7 @@ def test_msmd_roundtrip():
 # torch oracle of the reference style encoder architecture
 # ---------------------------------------------------------------------------
 
-class Permute(nn.Module):
-    def __init__(self, dims):
-        super().__init__()
-        self.dims = dims
-
-    def forward(self, x):
-        return x.permute(*self.dims)
-
-
-class TorchPE(nn.Module):
-    """Sinusoidal table + the single-row quirk (adds pe[:, seq_len, :])."""
-
-    def __init__(self, d_model, dropout=0.1, max_len=600):
-        super().__init__()
-        self.dropout = nn.Dropout(p=dropout)
-        pe = torch.zeros(max_len, d_model)
-        position = torch.arange(0, max_len, dtype=torch.float).unsqueeze(1)
-        div = torch.exp(torch.arange(0, d_model, 2).float() * (-math.log(10000.0) / d_model))
-        pe[:, 0::2] = torch.sin(position * div)
-        pe[:, 1::2] = torch.cos(position * div)
-        self.register_buffer("pe", pe.unsqueeze(0))
-
-    def forward(self, x):
-        return self.dropout(x + self.pe[:, x.shape[1], :])
-
-
-def build_torch_vae2(d_style=16, input_dim=67, conv_dim=512):
-    out_size = d_style * 2
-    pre, post = Permute((0, 2, 1)), Permute((0, 2, 1))
-    m = nn.Module()
-    m.input_layers = nn.Sequential(
-        pre, nn.Conv1d(input_dim, conv_dim, 3, padding=1), post, nn.Dropout(0.2), nn.ELU(), nn.LayerNorm(conv_dim),
-        pre, nn.Conv1d(conv_dim, conv_dim, 3, padding=1), post, nn.Dropout(0.2), nn.ELU(), nn.LayerNorm(conv_dim),
-    )
-    m.PE = TorchPE(conv_dim)
-    m.encoder = nn.TransformerEncoderLayer(conv_dim, 8, conv_dim, activation="gelu", batch_first=True)
-    m.output_layers = nn.Sequential(
-        pre, nn.Conv1d(conv_dim, out_size, 3, padding=1), post, nn.Dropout(0.1), nn.ELU(), nn.LayerNorm(out_size),
-        pre, nn.Conv1d(out_size, out_size, 3, padding=1), post,
-    )
-
-    def forward(motion):
-        h = m.input_layers(motion)
-        h = m.PE(h)
-        h = m.encoder(h)
-        h = m.output_layers(h)
-        out = h.mean(dim=1)
-        return out[:, : out_size // 2], out[:, out_size // 2 :]
-
-    m.encode = forward
-    return m
+from msmd_tpu.interop.torch_oracle import build_torch_denoiser, build_torch_vae2
 
 
 def test_style_encoder_matches_torch_oracle():
@@ -154,55 +104,6 @@ def test_style_encoder_matches_torch_oracle():
 # ---------------------------------------------------------------------------
 # torch oracle of the reference denoiser architecture
 # ---------------------------------------------------------------------------
-
-def build_torch_denoiser(cfg, motion_feat_dim=67):
-    m = nn.Module()
-    F = cfg.feature_dim
-    m.TE = TorchPE(F, max_len=cfg.n_diff_steps + 1)
-    m.diff_step_map = nn.Sequential(nn.Linear(F, F), nn.GELU(), nn.Linear(F, F))
-    m.PE = nn.Parameter(torch.randn(1, 1 + cfg.n_prev_motions + cfg.n_motions, F))
-    m.person_proj = nn.Linear(100 + cfg.d_style, F)
-    m.feature_proj = nn.Linear(motion_feat_dim + 1, F)
-    layer = nn.TransformerDecoderLayer(F, cfg.n_heads, cfg.mlp_ratio * F, activation="gelu", batch_first=True)
-    m.transformer = nn.TransformerDecoder(layer, num_layers=cfg.n_layers)
-    m.static_feature_mapping = nn.ModuleList(
-        [nn.Sequential(nn.Linear(cfg.d_style, F), nn.GELU(), nn.Linear(F, motion_feat_dim)) for _ in range(cfg.num_of_basis)]
-    )
-    m.motion_dec = nn.Sequential(nn.Linear(F, F // 2), nn.GELU(), nn.Linear(F // 2, motion_feat_dim + cfg.num_of_basis))
-
-    # banded alignment mask with unmasked person row
-    motion_len = cfg.n_prev_motions + cfg.n_motions
-    mask = torch.ones(motion_len, motion_len, dtype=torch.bool)
-    for i in range(motion_len):
-        mask[i, max(0, i - (cfg.align_mask_width - 1)) : i + cfg.align_mask_width] = False
-    m.register_buffer("alignment_mask", torch.cat([torch.zeros(1, motion_len, dtype=torch.bool), mask], dim=0))
-
-    def forward(motion, audio, person, style, prev_m, prev_a, step, indicator):
-        emb = m.diff_step_map(m.TE.pe[0, step]).unsqueeze(1)
-        person_f = m.person_proj(person) + emb
-        ind = torch.cat([torch.zeros(indicator.shape[0], cfg.n_prev_motions), indicator], dim=1).unsqueeze(-1)
-        feats = torch.cat([prev_m, motion], dim=1)
-        feats = torch.cat([feats, ind], dim=-1)
-        feats = m.feature_proj(feats)
-        feats = torch.cat([person_f, feats], dim=1) + m.PE
-        mem = torch.cat([prev_a, audio], dim=1)
-        out = m.transformer(feats, mem, memory_mask=m.alignment_mask)
-        dec = m.motion_dec(out[:, 1:])
-        alphas = dec[:, :, -cfg.num_of_basis :]
-        dynamic = dec[:, :, : -cfg.num_of_basis]
-        statics = []
-        for k in range(cfg.num_of_basis):
-            s = m.static_feature_mapping[k](style)
-            statics.append(torch.tile(s, (1, dec.shape[1], 1)).unsqueeze(2))
-        static = torch.cat(statics, dim=2)
-        a = alphas.unsqueeze(-1)
-        face = (static[..., :-3] * a).sum(2)
-        pose = static[..., -3:].sum(2)
-        return dynamic + torch.cat([face, pose], dim=-1)
-
-    m.run = forward
-    return m
-
 
 def test_denoiser_matches_torch_oracle():
     cfg = tiny_cfg()
