@@ -127,6 +127,7 @@ class DenoisingNetwork(nn.Module):
         keep_separate: bool = False,
         deterministic: bool = True,
         memory_kv: Optional[List[KVCache]] = None,
+        fused_decoder: Optional[dict] = None,
     ):
         cfg = self.cfg
         d_motion = cfg.motion_feat_dim
@@ -157,10 +158,23 @@ class DenoisingNetwork(nn.Module):
         if cfg.align_mask_width > 0:
             memory_mask = alignment_mask(n_prev, n_cur, cfg.align_mask_width)
 
-        memory = None
-        if memory_kv is None:
-            memory = jnp.concatenate([prev_audio_feat, audio_feat], axis=1).astype(self.dtype)
-        feat_out = self.transformer(feats_in, memory, memory_mask, deterministic, memory_kv=memory_kv)
+        if fused_decoder is not None:
+            # single-Pallas-program decoder stack for the sampling hot
+            # loop (ops/pallas/decoder_kernel.py): ~100 XLA ops -> 1
+            # kernel; masks/packed weights are built once outside the scan
+            from msmd_tpu.ops.pallas.decoder_kernel import fused_decoder_forward
+
+            feat_out = fused_decoder_forward(
+                fused_decoder["pack"], fused_decoder["kmem"], fused_decoder["vmem"],
+                feats_in.astype(jnp.float32),
+                fused_decoder["self_mask"], fused_decoder["cross_mask"],
+                n_heads=cfg.n_heads, interpret=fused_decoder["interpret"],
+            ).astype(self.dtype)
+        else:
+            memory = None
+            if memory_kv is None:
+                memory = jnp.concatenate([prev_audio_feat, audio_feat], axis=1).astype(self.dtype)
+            feat_out = self.transformer(feats_in, memory, memory_mask, deterministic, memory_kv=memory_kv)
 
         # motion decoder (person token dropped)
         h = self.motion_dec_1(feat_out[:, 1:])

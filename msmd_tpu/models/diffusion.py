@@ -104,10 +104,11 @@ class MSMD(nn.Module):
         keep_separate: bool = False,
         deterministic: bool = True,
         memory_kv=None,
+        fused_decoder=None,
     ):
         return self.denoising_net(
             motion_feat, audio_feat, person_feat, style_feat, prev_motion_feat, prev_audio_feat, step,
-            indicator, keep_separate, deterministic, memory_kv=memory_kv,
+            indicator, keep_separate, deterministic, memory_kv=memory_kv, fused_decoder=fused_decoder,
         )
 
     def cache_denoiser_memory_kv(self, prev_audio_feat, audio_feat):
@@ -339,7 +340,7 @@ def _dynamic_threshold(results: jnp.ndarray, n_motions: int, dynamic_threshold):
     """Per-sample quantile clamp (reference: model.py:396-402)."""
     dt_ratio, dt_min, dt_max = dynamic_threshold
     flat = jnp.abs(results[:, -n_motions:].reshape(results.shape[0], -1))
-    s = jnp.quantile(flat, dt_ratio, axis=1)
+    s = jnp.quantile(flat, float(dt_ratio), axis=1)
     s = jnp.clip(s, dt_min, dt_max)[:, None, None]
     return jnp.clip(results, -s, s)
 
@@ -424,6 +425,8 @@ def sample(
     guidance_indice: Optional[jnp.ndarray] = None,
     guidance_values: Optional[jnp.ndarray] = None,
     scan_unroll: int = 1,
+    noise_override: Optional[jnp.ndarray] = None,
+    fused_decoder: Optional[bool] = None,
 ):
     """DDPM sampling as one ``lax.scan`` over t = T..1.
 
@@ -431,6 +434,11 @@ def sample(
     ``guidance_indice``/``guidance_values`` are given — the naive
     inpainting ``sample_with_guide`` (reference model.py:653-818, write
     at :765-766).
+
+    ``noise_override``: optional (T, B, n_motions, D) per-step z used in
+    place of the internal PRNG draws (index 0 is the first scan step,
+    t = T). Enables bit-identical cross-framework parity runs
+    (scripts/fidelity_certificate.py).
 
     Returns (motion (B, n_motions, D), motion_at_T, audio_feat), with the
     full trajectory (T+1, B, L, D; index t holds x_t) instead of the
@@ -446,11 +454,53 @@ def sample(
     n_motions = motion_at_T.shape[1]
     n_entries = stacks["n_entries"]
 
+    # When the model computes in bf16, pre-cast the f32 weights ONCE
+    # outside the scan: flax casts params at every use anyway (so this is
+    # numerically identical), but doing it here halves the per-step HBM
+    # weight traffic — at batch 1 the 500-step scan is weight-bandwidth
+    # bound (measured: benchmarks/latency_probe.py).
+    if model.dtype == jnp.bfloat16:
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, variables
+        )
+
     # cross-attention K/V of the audio memory: computed ONCE, reused in
     # every scan step (the memory never changes during sampling)
     memory_kv = model.apply(
         variables, stacks["prev_audio_in"], stacks["audio_in"], method=MSMD.cache_denoiser_memory_kv
     )
+
+    # Fused Pallas decoder stack for the latency regime: at small batch
+    # the XLA decoder is per-op-latency bound (~100 ops/step); the kernel
+    # runs all n_layers as one program with layer-streamed weights.
+    # Weights/masks are packed HERE, outside the scan. The flattened-row
+    # masking is quadratic in batch, so it is gated to small batches; the
+    # throughput path (large batch) keeps the XLA decoder.
+    if fused_decoder is None:
+        fused_decoder = (
+            model.dtype == jnp.bfloat16
+            and batch_size * n_entries <= 4  # flattened-row masks are quadratic
+            and guidance_indice is None
+        )
+    fused = None
+    if fused_decoder:
+        from msmd_tpu.ops.pallas.decoder_kernel import (
+            build_masks, pack_decoder_weights, pack_memory_kv,
+        )
+        from msmd_tpu.ops.seq import alignment_mask
+
+        n_prev = stacks["prev_motion_in"].shape[1]
+        lq, lm = 1 + n_prev + n_motions, n_prev + n_motions
+        align = alignment_mask(n_prev, n_motions, cfg.align_mask_width) if cfg.align_mask_width > 0 else None
+        sm, cm = build_masks(batch_size * n_entries, lq, lm, align)
+        km, vm = pack_memory_kv(memory_kv, dtype=model.dtype)
+        fused = dict(
+            pack=pack_decoder_weights(
+                variables["params"]["denoising_net"]["transformer"], cfg.n_layers, dtype=model.dtype
+            ),
+            kmem=km, vmem=vm, self_mask=sm, cross_mask=cm,
+            interpret=jax.default_backend() == "cpu",
+        )
 
     def denoise_apply(motion_in, step_in):
         return model.apply(
@@ -464,13 +514,18 @@ def sample(
             step_in,
             stacks["indicator_in"],
             memory_kv=memory_kv,
+            fused_decoder=fused,
             method=MSMD.denoise,
         )
 
-    def body(carry, t):
+    def body(carry, xs):
+        t = xs[0] if noise_override is not None else xs
         motion_at_t, k = carry
-        k, kz = jax.random.split(k)
-        z = jax.random.normal(kz, motion_at_t.shape, motion_at_t.dtype)
+        if noise_override is not None:
+            z = xs[1]
+        else:
+            k, kz = jax.random.split(k)
+            z = jax.random.normal(kz, motion_at_t.shape, motion_at_t.dtype)
         z = jnp.where(t > 1, z, jnp.zeros_like(z))
 
         alpha = sched.alphas[t]
@@ -502,7 +557,8 @@ def sample(
         return (motion_next, k), motion_next if ret_traj else None
 
     ts = jnp.arange(sched.num_steps, 0, -1)
-    (motion_0, _), traj_tail = jax.lax.scan(body, (motion_at_T, key), ts, unroll=scan_unroll)
+    xs = ts if noise_override is None else (ts, noise_override.astype(motion_at_T.dtype))
+    (motion_0, _), traj_tail = jax.lax.scan(body, (motion_at_T, key), xs, unroll=scan_unroll)
 
     if ret_traj:
         # traj_tail is ordered t = T-1 .. 0; prepend x_T and flip so that

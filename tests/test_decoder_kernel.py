@@ -1,0 +1,124 @@
+"""Fused decoder-stack Pallas kernel == the flax TransformerDecoder
+(msmd_tpu/ops/pallas/decoder_kernel.py; interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from msmd_tpu.models.transformer import TransformerDecoder
+from msmd_tpu.ops.pallas.decoder_kernel import (
+    build_masks,
+    fused_decoder_forward,
+    pack_decoder_weights,
+    pack_memory_kv,
+)
+from msmd_tpu.ops.seq import alignment_mask
+
+
+def _setup(B=2, Lq=14, Lm=13, F=32, H=4, n_layers=3, ffn=64, seed=0):
+    dec = TransformerDecoder(n_layers, F, H, ffn, dropout=0.1)
+    rs = np.random.RandomState(seed)
+    x = rs.randn(B, Lq, F).astype(np.float32)
+    mem = rs.randn(B, Lm, F).astype(np.float32)
+    variables = dec.init(jax.random.PRNGKey(seed), jnp.asarray(x), jnp.asarray(mem))
+    return dec, variables, x, mem
+
+
+@pytest.mark.parametrize("use_align", [False, True])
+def test_fused_decoder_matches_flax(use_align):
+    B, Lq, Lm, F, H, L = 2, 14, 13, 32, 4, 3
+    dec, variables, x, mem = _setup(B, Lq, Lm, F, H, L)
+    align = np.asarray(alignment_mask(4, 9, 1)) if use_align else None  # (1+13, 13)? shaped below
+    if use_align:
+        # alignment_mask(n_prev, n_cur, w) -> (1 + n_prev + n_cur, n_prev + n_cur)
+        assert align.shape == (Lq, Lm)
+
+    kv = dec.apply(variables, jnp.asarray(mem), method=TransformerDecoder.cache_memory)
+    want = dec.apply(
+        variables, jnp.asarray(x), None,
+        jnp.asarray(align) if use_align else None, True, memory_kv=kv,
+    )
+
+    pack = pack_decoder_weights(variables["params"], L, dtype=jnp.float32)
+    km, vm = pack_memory_kv(kv, dtype=jnp.float32)
+    sm, cm = build_masks(B, Lq, Lm, align)
+    got = fused_decoder_forward(pack, km, vm, jnp.asarray(x), sm, cm, n_heads=H, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+def test_fused_decoder_bf16_close():
+    """bf16 weight pack (the production config) stays within bf16 noise
+    of the f32 flax decoder."""
+    B, Lq, Lm, F, H, L = 1, 10, 9, 32, 4, 2
+    dec, variables, x, mem = _setup(B, Lq, Lm, F, H, L, seed=3)
+    kv = dec.apply(variables, jnp.asarray(mem), method=TransformerDecoder.cache_memory)
+    want = dec.apply(variables, jnp.asarray(x), None, None, True, memory_kv=kv)
+
+    pack = pack_decoder_weights(variables["params"], L, dtype=jnp.bfloat16)
+    km, vm = pack_memory_kv(kv, dtype=jnp.bfloat16)
+    sm, cm = build_masks(B, Lq, Lm, None)
+    got = fused_decoder_forward(pack, km, vm, jnp.asarray(x), sm, cm, n_heads=H, interpret=True)
+    # bf16 matmuls with f32 accumulation: ~1e-2 worst-case over 2 layers
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2, rtol=3e-2)
+
+
+def test_batch_isolation():
+    """flattened-batch masking: each batch entry's output must be
+    independent of the other's content."""
+    B, Lq, Lm, F, H, L = 2, 8, 7, 32, 4, 2
+    dec, variables, x, mem = _setup(B, Lq, Lm, F, H, L, seed=5)
+    kv = dec.apply(variables, jnp.asarray(mem), method=TransformerDecoder.cache_memory)
+    pack = pack_decoder_weights(variables["params"], L, dtype=jnp.float32)
+    km, vm = pack_memory_kv(kv, dtype=jnp.float32)
+    sm, cm = build_masks(B, Lq, Lm, None)
+    out1 = fused_decoder_forward(pack, km, vm, jnp.asarray(x), sm, cm, n_heads=H, interpret=True)
+
+    x2 = x.copy()
+    x2[1] += 100.0  # perturb ONLY batch entry 1
+    out2 = fused_decoder_forward(pack, km, vm, jnp.asarray(x2), sm, cm, n_heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(out2[0]), atol=1e-6)
+    assert np.abs(np.asarray(out1[1]) - np.asarray(out2[1])).max() > 1.0
+
+
+def test_sampler_fused_vs_xla_decoder():
+    """The full sampler with the fused decoder (auto-enabled for bf16 at
+    small batch) matches the XLA-decoder sampler to bf16 noise."""
+    from msmd_tpu.config import MSMDConfig
+    from msmd_tpu.models.audio import AudioEncoderConfig
+    from msmd_tpu.models.diffusion import get_diffusion_model, sample
+
+    cfg = MSMDConfig(
+        feature_dim=32, n_heads=4, n_layers=2, mlp_ratio=2, d_style=16,
+        n_motions=8, n_prev_motions=4, n_diff_steps=4, num_of_basis=2,
+        use_indicator=True, compute_dtype="bfloat16",
+    )
+    audio_cfg = AudioEncoderConfig(
+        hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+        conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3), conv_stride=(5, 4, 4),
+    )
+    model = get_diffusion_model(cfg, audio_config=audio_cfg, dtype=jnp.bfloat16)
+    rs = np.random.RandomState(0)
+    motion = jnp.zeros((1, cfg.n_motions, cfg.motion_feat_dim))
+    audio = jnp.asarray(rs.randn(1, cfg.n_audio_samples).astype(np.float32) * 0.1)
+    shape = jnp.asarray(rs.randn(1, 100).astype(np.float32) * 0.1)
+    style = jnp.asarray(rs.randn(1, cfg.d_style).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        motion, audio, shape, style, deterministic=True,
+    )
+    mT = jnp.asarray(rs.randn(1, cfg.n_motions, cfg.motion_feat_dim).astype(np.float32))
+    z = jnp.asarray(rs.randn(cfg.n_diff_steps, 1, cfg.n_motions, cfg.motion_feat_dim).astype(np.float32))
+
+    kw = dict(motion_at_T=mT, noise_override=z)
+    m_fused, _, _ = sample(model, variables, jax.random.PRNGKey(2), audio, shape, style,
+                           fused_decoder=True, **kw)
+    m_xla, _, _ = sample(model, variables, jax.random.PRNGKey(2), audio, shape, style,
+                         fused_decoder=False, **kw)
+    a, b = np.asarray(m_fused, np.float32), np.asarray(m_xla, np.float32)
+    assert np.isfinite(a).all()
+    # both paths are bf16 programs; agreement within bf16 noise amplified
+    # over 4 diffusion steps
+    np.testing.assert_allclose(a, b, atol=0.15, rtol=0.1)
+    assert float(np.mean((a - b) ** 2)) < 2e-3
