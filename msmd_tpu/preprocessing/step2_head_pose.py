@@ -107,7 +107,7 @@ def extract_video_landmarks(video_path, bbox_list, min_detection_confidence: flo
     return raw
 
 
-def process_video(video_path, bbox_path, output_path, canonical_vertices, static_indices) -> dict:
+def process_video(video_path, bbox_path, output_path, canonical_vertices, static_indices, debug_video_path=None) -> dict:
     with open(bbox_path, "rb") as f:
         bbox_list = pickle.load(f)["processed_bbox_frames"]
     raw = extract_video_landmarks(video_path, bbox_list)
@@ -127,6 +127,14 @@ def process_video(video_path, bbox_path, output_path, canonical_vertices, static
     Path(output_path).parent.mkdir(parents=True, exist_ok=True)
     with open(output_path, "wb") as f:
         pickle.dump(ypr, f)
+    if debug_video_path is not None:
+        # axis-arrow overlay video (reference Step2:570-640)
+        from msmd_tpu.preprocessing.debug_video import write_debug_video, ypr_to_rotation_matrices
+
+        Path(debug_video_path).parent.mkdir(parents=True, exist_ok=True)
+        log["debug_frames"] = write_debug_video(
+            video_path, debug_video_path, ypr_to_rotation_matrices(ypr), bbox_list
+        )
     return log
 
 
@@ -140,6 +148,10 @@ def main():
     parser.add_argument("--log_root", type=str, required=True)
     parser.add_argument("--mapping_path", type=str, required=True, help="mediapipe semantic mapping JSON")
     parser.add_argument("--canonical_face_path", type=str, required=True, help="mediapipe canonical face OBJ")
+    parser.add_argument(
+        "--debug_video_root", type=str, default=None,
+        help="if set, also write per-video axis-arrow debug overlays here (reference Step2:570-640)",
+    )
     args = parser.parse_args()
 
     with open(args.mapping_path) as f:
@@ -163,6 +175,9 @@ def main():
                     Path(args.video_root) / f"{name}.mp4",
                     Path(args.boundbox_root) / f"{name}.pickle",
                     out_path, canonical, static_idx,
+                    debug_video_path=(
+                        Path(args.debug_video_root) / f"{name}.mp4" if args.debug_video_root else None
+                    ),
                 )
             )
         except Exception as e:

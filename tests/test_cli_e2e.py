@@ -22,7 +22,10 @@ def run(cmd, **kw):
     # share the persistent compilation cache across the CLI subprocesses
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/msmd_jax_cache"
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "5"
-    return subprocess.run(cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=560, **kw)
+    # generous default: a COLD cache compile of the jitted train step on a
+    # loaded CI machine can exceed 10 min (r1 flake); warm runs take ~1 min
+    timeout = int(os.environ.get("MSMD_E2E_SUBPROC_TIMEOUT", "1800"))
+    return subprocess.run(cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout, **kw)
 
 
 @pytest.fixture(scope="module")

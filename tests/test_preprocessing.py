@@ -257,3 +257,58 @@ def test_runlog_resume(tmp_path):
     assert not log2.should_skip("vid2", tmp_path / "vid2.out")
     with open(log2.path) as f:
         assert json.load(f)[0]["video_name"] == "vid1"
+
+
+def test_debug_video_axis_projection():
+    """Identity pose: X axis points right, Y down, Z collapses to the
+    origin under orthographic projection (reference Step2:585-625)."""
+    from msmd_tpu.preprocessing.debug_video import project_pose_axes, ypr_to_rotation_matrices
+
+    bbox = (100, 50, 40, 20)  # center (120, 60)
+    pts = project_pose_axes(np.eye(3), bbox, axis_length=200.0)
+    assert pts.tolist() == [[120, 60], [320, 60], [120, 260], [120, 60]]
+
+    # 90-degree yaw about Y: the X axis end rotates out of plane (onto Z),
+    # so its projection collapses to the origin; Z projects onto +X.
+    R = ypr_to_rotation_matrices(np.array([[90.0, 0.0, 0.0]]))[0]
+    pts = project_pose_axes(R, bbox, axis_length=200.0)
+    np.testing.assert_allclose(pts[0], [120, 60])
+    np.testing.assert_allclose(pts[1], [120, 60], atol=1)   # x-end collapsed
+    np.testing.assert_allclose(pts[3], [320, 60], atol=1)   # z-end -> +X
+
+    # round trip: ypr -> R -> ypr (with the stored-roll sign flip)
+    ypr = np.array([[20.0, -10.0, 5.0], [-35.0, 15.0, -8.0]])
+    Rs = ypr_to_rotation_matrices(ypr)
+    from scipy.spatial.transform import Rotation
+
+    eul = Rotation.from_matrix(Rs).as_euler("YXZ", degrees=True)
+    eul[:, 2] = -eul[:, 2]
+    np.testing.assert_allclose(eul, ypr, atol=1e-9)
+
+
+def test_debug_video_writer(tmp_path):
+    """write_debug_video draws on frames with a pose and passes through
+    frames without one (reference Step2:574-645)."""
+    import cv2 as cv
+
+    from msmd_tpu.preprocessing.debug_video import write_debug_video
+
+    src = str(tmp_path / "src.mp4")
+    w = cv.VideoWriter(src, cv.VideoWriter_fourcc(*"mp4v"), 25.0, (64, 64))
+    for _ in range(4):
+        w.write(np.zeros((64, 64, 3), np.uint8))
+    w.release()
+
+    Rs = [np.eye(3), None, np.eye(3), np.eye(3)]
+    bboxes = [(10, 10, 20, 20)] * 4
+    out = str(tmp_path / "dbg.mp4")
+    n = write_debug_video(src, out, Rs, bboxes, axis_length=15.0)
+    assert n == 4
+
+    cap = cv.VideoCapture(out)
+    ok, f0 = cap.read()
+    ok1, f1 = cap.read()
+    cap.release()
+    assert ok and ok1
+    assert f0.sum() > 0          # overlay drawn
+    assert f1.sum() < f0.sum()   # None pose frame left (nearly) black
