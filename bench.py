@@ -46,12 +46,13 @@ def main():
     dtype_name = os.environ.get("MSMD_BENCH_DTYPE", "bfloat16")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
+    softmax_dt = os.environ.get("MSMD_BENCH_SOFTMAX", "")  # "" = f32 (default)
     tiny = os.environ.get("MSMD_BENCH_TINY") == "1"  # CPU smoke-test mode
     if tiny:
         from msmd_tpu.models.audio import AudioEncoderConfig
 
         cfg = MSMDConfig(
-            n_diff_steps=n_steps, compute_dtype=dtype_name,
+            n_diff_steps=n_steps, compute_dtype=dtype_name, attn_softmax_dtype=softmax_dt,
             feature_dim=32, n_heads=4, n_layers=2, mlp_ratio=2, d_style=16,
             n_motions=8, n_prev_motions=4, num_of_basis=2,
         )
@@ -61,7 +62,7 @@ def main():
         )
         model = get_diffusion_model(cfg, audio_config=audio_config, dtype=dtype)
     else:
-        cfg = MSMDConfig(n_diff_steps=n_steps, compute_dtype=dtype_name)
+        cfg = MSMDConfig(n_diff_steps=n_steps, compute_dtype=dtype_name, attn_softmax_dtype=softmax_dt)
         model = get_diffusion_model(cfg, dtype=dtype)
 
     B = n_reps

@@ -107,6 +107,10 @@ class MSMDConfig:
 
     # ---- TPU-native additions (no reference equivalent) ---------------
     compute_dtype: str = "bfloat16"  # matmul/activation dtype on TPU
+    # attention softmax dtype: "" = promote to >= f32 (default);
+    # "bfloat16" skips the f32 cast round-trips on the logits (serving
+    # knob; ~exact in practice, see BENCH.md)
+    attn_softmax_dtype: str = ""
     param_dtype: str = "float32"  # parameter storage dtype
     mesh_shape: str = "data"  # comma-sep mesh axis names for pjit
     flame_model_path: Optional[str] = None  # FLAME generic_model.pkl

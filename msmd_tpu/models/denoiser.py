@@ -98,7 +98,9 @@ class DenoisingNetwork(nn.Module):
             self.pe_dropout = nn.Dropout(0.1)
         self.transformer = TransformerDecoder(
             cfg.n_layers, cfg.feature_dim, cfg.n_heads, cfg.mlp_ratio * cfg.feature_dim,
-            0.1, self.dtype, self.param_dtype, name="transformer",
+            0.1, self.dtype, self.param_dtype,
+            jnp.dtype(cfg.attn_softmax_dtype) if getattr(cfg, "attn_softmax_dtype", "") else None,
+            name="transformer",
         )
         self.static_feature_mappings = [
             StyleBasisMLP(cfg.feature_dim, cfg.motion_feat_dim, self.dtype, self.param_dtype, name=f"static_feature_mapping_{k}")
@@ -168,7 +170,8 @@ class DenoisingNetwork(nn.Module):
                 fused_decoder["pack"], fused_decoder["kmem"], fused_decoder["vmem"],
                 feats_in.astype(jnp.float32),
                 fused_decoder["self_mask"], fused_decoder["cross_mask"],
-                n_heads=cfg.n_heads, interpret=fused_decoder["interpret"],
+                n_heads=cfg.n_heads, tile_entries=fused_decoder.get("tile_entries", 0),
+                interpret=fused_decoder["interpret"],
             ).astype(self.dtype)
         else:
             memory = None

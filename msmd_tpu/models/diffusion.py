@@ -476,11 +476,16 @@ def sample(
     # Weights/masks are packed HERE, outside the scan. The flattened-row
     # masking is quadratic in batch, so it is gated to small batches; the
     # throughput path (large batch) keeps the XLA decoder.
+    Be = batch_size * n_entries
     if fused_decoder is None:
+        import os
+
+        # auto-on for the small-batch latency regime; MSMD_FUSED_DECODER=1
+        # extends it to large batches via row tiling (throughput mode)
         fused_decoder = (
             model.dtype == jnp.bfloat16
-            and batch_size * n_entries <= 4  # flattened-row masks are quadratic
             and guidance_indice is None
+            and (Be <= 4 or os.environ.get("MSMD_FUSED_DECODER") == "1")
         )
     fused = None
     if fused_decoder:
@@ -489,16 +494,20 @@ def sample(
         )
         from msmd_tpu.ops.seq import alignment_mask
 
+        # row tile = whole batch entries (attention stays tile-local);
+        # largest divisor of Be up to 8 entries balances VMEM vs
+        # per-grid-step overhead
+        tile = Be if Be <= 4 else max(d for d in range(1, 9) if Be % d == 0)
         n_prev = stacks["prev_motion_in"].shape[1]
         lq, lm = 1 + n_prev + n_motions, n_prev + n_motions
         align = alignment_mask(n_prev, n_motions, cfg.align_mask_width) if cfg.align_mask_width > 0 else None
-        sm, cm = build_masks(batch_size * n_entries, lq, lm, align)
+        sm, cm = build_masks(tile, lq, lm, align)
         km, vm = pack_memory_kv(memory_kv, dtype=model.dtype)
         fused = dict(
             pack=pack_decoder_weights(
                 variables["params"]["denoising_net"]["transformer"], cfg.n_layers, dtype=model.dtype
             ),
-            kmem=km, vmem=vm, self_mask=sm, cross_mask=cm,
+            kmem=km, vmem=vm, self_mask=sm, cross_mask=cm, tile_entries=tile,
             interpret=jax.default_backend() == "cpu",
         )
 

@@ -43,6 +43,11 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # None = promote logits to >= f32 for the softmax (default, safest).
+    # jnp.bfloat16 computes the softmax in bf16 — saves the f32<->bf16
+    # cast round-trips on the (B, H, Lq, Lk) logits, the largest
+    # non-matmul HBM traffic in the sampling hot loop.
+    softmax_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         dense = lambda name: nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
@@ -109,8 +114,10 @@ class MultiHeadAttention(nn.Module):
             # torch convention: boolean True = masked out.
             neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
             logits = jnp.where(mask, neg, logits)
-        # softmax in >= f32 (upcast bf16, but never downcast f64)
-        weights = nn.softmax(logits.astype(jnp.promote_types(logits.dtype, jnp.float32)), axis=-1).astype(self.dtype)
+        # softmax in >= f32 (upcast bf16, but never downcast f64) unless
+        # an explicit softmax_dtype is configured
+        sm_dt = self.softmax_dtype or jnp.promote_types(logits.dtype, jnp.float32)
+        weights = nn.softmax(logits.astype(sm_dt), axis=-1).astype(self.dtype)
         weights = self.attn_drop(weights, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh).reshape(B, Lq, self.dim)
         return self.out_proj(out)
@@ -143,10 +150,11 @@ class TransformerDecoderLayer(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    softmax_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
-        self.self_attn = MultiHeadAttention(self.dim, self.n_heads, self.dropout, self.dtype, self.param_dtype, name="self_attn")
-        self.cross_attn = MultiHeadAttention(self.dim, self.n_heads, self.dropout, self.dtype, self.param_dtype, name="cross_attn")
+        self.self_attn = MultiHeadAttention(self.dim, self.n_heads, self.dropout, self.dtype, self.param_dtype, self.softmax_dtype, name="self_attn")
+        self.cross_attn = MultiHeadAttention(self.dim, self.n_heads, self.dropout, self.dtype, self.param_dtype, self.softmax_dtype, name="cross_attn")
         self.ffn = FeedForward(self.dim, self.ffn_dim, self.dropout, self.dtype, self.param_dtype, name="ffn")
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
         self.norm1 = ln("norm1")
@@ -187,11 +195,13 @@ class TransformerDecoder(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    softmax_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.layers = [
             TransformerDecoderLayer(
-                self.dim, self.n_heads, self.ffn_dim, self.dropout, self.dtype, self.param_dtype, name=f"layers_{i}"
+                self.dim, self.n_heads, self.ffn_dim, self.dropout, self.dtype, self.param_dtype,
+                self.softmax_dtype, name=f"layers_{i}"
             )
             for i in range(self.n_layers)
         ]

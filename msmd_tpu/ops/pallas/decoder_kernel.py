@@ -154,7 +154,7 @@ def _decoder_kernel(
 
     @pl.when(l == 0)
     def _():
-        x_out[:] = x_in[:]
+        x_out[:] = x_in[:]  # per row-tile: grid dim 1 indexes the tile
 
     F = x_in.shape[-1]
     dh = F // n_heads
@@ -207,29 +207,47 @@ def _decoder_kernel(
     x_out[:] = x
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_heads", "tile_entries", "interpret"))
 def fused_decoder_forward(
     pack: dict,
-    kmem: jnp.ndarray,  # (L, M, F)
-    vmem: jnp.ndarray,  # (L, M, F)
+    kmem: jnp.ndarray,  # (L, B*Lm, F) batch-major rows
+    vmem: jnp.ndarray,  # (L, B*Lm, F)
     x: jnp.ndarray,  # (B, Lq, F) any float dtype
-    self_mask: jnp.ndarray,  # (B*Lq, B*Lq) f32 additive
-    cross_mask: jnp.ndarray,  # (B*Lq, B*Lm) f32 additive
+    self_mask: jnp.ndarray,  # (T*Lq, T*Lq) f32 additive, T = tile_entries
+    cross_mask: jnp.ndarray,  # (T*Lq, T*Lm) f32 additive
     n_heads: int,
+    tile_entries: int = 0,  # batch entries per row tile; 0 = all of B
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the full decoder stack; returns (B, Lq, F) float32."""
+    """Run the full decoder stack; returns (B, Lq, F) float32.
+
+    Row tiling (``tile_entries``) generalizes the kernel from the
+    latency regime (one tile holding the whole flattened batch) to the
+    throughput regime: grid = (layers, row_tiles), each tile holding
+    ``tile_entries`` whole batch entries so attention stays local to the
+    tile. Per-layer weights are fetched once per layer (tiles iterate in
+    the inner grid dimension); activation tiles round-trip HBM between
+    layers (~2 x R x F x 4 bytes per layer — far below the LN/residual/
+    glue traffic the unfused XLA path pays)."""
     B, Lq, F = x.shape
     L = pack["wqkv"].shape[0]
-    M = kmem.shape[1]
-    R = B * Lq
-    x_flat = x.reshape(R, F).astype(jnp.float32)
+    Mtot = kmem.shape[1]
+    Lm = Mtot // B
+    T = tile_entries or B
+    assert B % T == 0, (B, T)
+    n_tiles = B // T
+    Rt, Mt = T * Lq, T * Lm
+    assert self_mask.shape == (Rt, Rt), (self_mask.shape, Rt)
+    assert cross_mask.shape == (Rt, Mt), (cross_mask.shape, Rt, Mt)
+    x_flat = x.reshape(B * Lq, F).astype(jnp.float32)
 
-    spec = lambda *blk: pl.BlockSpec(blk, lambda l: (l,) + (0,) * (len(blk) - 1))
-    full = lambda a: pl.BlockSpec(a.shape, lambda l: (0,) * a.ndim)
+    spec = lambda *blk: pl.BlockSpec(blk, lambda l, t: (l,) + (0,) * (len(blk) - 1))
+    # kv stored (L*n_tiles, Mt, F); block index = layer * n_tiles + tile
+    kv_spec = lambda: pl.BlockSpec((1, Mt, F), lambda l, t: (l * n_tiles + t, 0, 0))
+    const = lambda a: pl.BlockSpec(a.shape, lambda l, t: (0,) * a.ndim)
 
     in_specs = [
-        full(x_flat),
+        pl.BlockSpec((Rt, F), lambda l, t: (t, 0)),
         spec(1, F, 3 * F), spec(1, 1, 3 * F),
         spec(1, F, F), spec(1, 1, F),
         spec(1, F, F), spec(1, 1, F),
@@ -237,15 +255,15 @@ def fused_decoder_forward(
         spec(1, F, pack["wf1"].shape[-1]), spec(1, 1, pack["wf1"].shape[-1]),
         spec(1, pack["wf2"].shape[1], F), spec(1, 1, F),
         spec(1, 3, F), spec(1, 3, F),
-        spec(1, M, F), spec(1, M, F),
-        full(self_mask), full(cross_mask),
+        kv_spec(), kv_spec(),
+        const(self_mask), const(cross_mask),
     ]
     out = pl.pallas_call(
         functools.partial(_decoder_kernel, n_heads=n_heads),
-        grid=(L,),
+        grid=(L, n_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((R, F), lambda l: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((R, F), jnp.float32),
+        out_specs=pl.BlockSpec((Rt, F), lambda l, t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * Lq, F), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
@@ -253,6 +271,8 @@ def fused_decoder_forward(
         pack["wqkv"], pack["bqkv"], pack["wso"], pack["bso"],
         pack["wcq"], pack["bcq"], pack["wco"], pack["bco"],
         pack["wf1"], pack["bf1"], pack["wf2"], pack["bf2"],
-        pack["ln_scale"], pack["ln_bias"], kmem, vmem, self_mask, cross_mask,
+        pack["ln_scale"], pack["ln_bias"],
+        kmem.reshape(L * n_tiles, Mt, F), vmem.reshape(L * n_tiles, Mt, F),
+        self_mask, cross_mask,
     )
     return out.reshape(B, Lq, F)

@@ -122,3 +122,21 @@ def test_sampler_fused_vs_xla_decoder():
     # over 4 diffusion steps
     np.testing.assert_allclose(a, b, atol=0.15, rtol=0.1)
     assert float(np.mean((a - b) ** 2)) < 2e-3
+
+
+def test_fused_decoder_row_tiling():
+    """Tiled (throughput) mode == single-tile mode == flax decoder."""
+    B, Lq, Lm, F, H, L = 4, 10, 9, 32, 4, 2
+    dec, variables, x, mem = _setup(B, Lq, Lm, F, H, L, seed=7)
+    kv = dec.apply(variables, jnp.asarray(mem), method=TransformerDecoder.cache_memory)
+    want = dec.apply(variables, jnp.asarray(x), None, None, True, memory_kv=kv)
+
+    pack = pack_decoder_weights(variables["params"], L, dtype=jnp.float32)
+    km, vm = pack_memory_kv(kv, dtype=jnp.float32)
+    for tile in (1, 2, 4):
+        sm, cm = build_masks(tile, Lq, Lm, None)
+        got = fused_decoder_forward(
+            pack, km, vm, jnp.asarray(x), sm, cm, n_heads=H, tile_entries=tile, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
+                                   err_msg=f"tile={tile}")
