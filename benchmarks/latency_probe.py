@@ -81,6 +81,29 @@ def main():
     print(json.dumps({"probe": "full", "wall_s": round(dt, 4),
                       "rtf": round(window_s * B / dt, 2)}), flush=True)
 
+    # ---- on-silicon correctness: fused Pallas decoder vs XLA decoder -----
+    if os.environ.get("MSMD_PROBE_CHECK", "1") == "1":
+        import numpy as np
+
+        mT = jax.random.normal(jax.random.PRNGKey(7), (B, cfg.n_motions, cfg.motion_feat_dim))
+        z = jax.random.normal(jax.random.PRNGKey(8), (8, B, cfg.n_motions, cfg.motion_feat_dim))
+        short = MSMDConfig(n_diff_steps=8, compute_dtype="bfloat16")
+        smodel = get_diffusion_model(short, dtype=jnp.bfloat16)
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def gen(fused, variables, mT, z, audio, shape, style):
+            m, _, _ = sample(smodel, variables, jax.random.PRNGKey(9), audio, shape, style,
+                             fused_decoder=fused, cfg_scale=1.15, motion_at_T=mT, noise_override=z)
+            return m
+
+        a = np.asarray(gen(True, variables, mT, z, audio, shape, style), np.float32)
+        b = np.asarray(gen(False, variables, mT, z, audio, shape, style), np.float32)
+        md = float(np.abs(a - b).max())
+        print(json.dumps({"probe": "fused_vs_xla_8step", "max_diff": round(md, 5),
+                          "ok": bool(md < 0.2 and np.isfinite(a).all())}), flush=True)
+
     # ---- probe 2: denoiser-only scan (KV-cached, effective batch 2B) -----
     n_entries = 2  # post-dead-entry-elimination CFG stack
     Be = B * n_entries
@@ -112,6 +135,40 @@ def main():
     results["denoiser"] = dt
     print(json.dumps({"probe": "denoiser_only", "wall_s": round(dt, 4),
                       "per_step_us": round(dt / n_steps * 1e6, 1)}), flush=True)
+
+    # ---- probe 2b: fused Pallas decoder stack alone ----------------------
+    if os.environ.get("MSMD_PROBE_FUSED", "1") == "1":
+        from msmd_tpu.ops.pallas.decoder_kernel import (
+            build_masks, fused_decoder_forward, pack_decoder_weights, pack_memory_kv,
+        )
+        from msmd_tpu.ops.seq import alignment_mask
+
+        lq = 1 + L_p + L
+        align = alignment_mask(L_p, L, cfg.align_mask_width)
+        interp = jax.default_backend() == "cpu"
+
+        @jax.jit
+        def fused_only(variables, x0):
+            pack = pack_decoder_weights(
+                variables["params"]["denoising_net"]["transformer"], cfg.n_layers, dtype=jnp.bfloat16
+            )
+            kv = model.apply(variables, prev_audio, audio_feat, method=MSMD.cache_denoiser_memory_kv)
+            km, vm = pack_memory_kv(kv, dtype=jnp.bfloat16)
+            sm, cm = build_masks(Be, lq, L_p + L, align)
+
+            def body(x, _):
+                y = fused_decoder_forward(
+                    pack, km, vm, x, sm, cm, n_heads=cfg.n_heads, interpret=interp
+                )
+                return y / (jnp.abs(y).max() + 1.0), None
+
+            x, _ = jax.lax.scan(body, x0, None, length=n_steps)
+            return x[..., 0].sum()
+
+        x0 = jnp.zeros((Be, lq, cfg.feature_dim), jnp.float32)
+        dt = timeit(fused_only, variables, x0)
+        print(json.dumps({"probe": "fused_kernel_only", "wall_s": round(dt, 4),
+                          "per_step_us": round(dt / n_steps * 1e6, 1)}), flush=True)
 
     # ---- probe 3: scaffolding-only scan ----------------------------------
     sched = DiffusionSchedule.create(cfg.n_diff_steps, cfg.diff_schedule)

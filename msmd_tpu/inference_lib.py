@@ -44,12 +44,18 @@ def infer_coeffs(
     dynamic_threshold: Optional[Tuple[float, float, float]] = (0, 1, 4),
     motion_at_T: Optional[jnp.ndarray] = None,
     noise_override: Optional[jnp.ndarray] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> jnp.ndarray:
     """Returns motion coefficients (n_repetitions, clip_frames, 67).
 
     ``motion_at_T`` / ``noise_override`` optionally pin the initial noise
     and the (T, R, n_motions, D) per-step z (reused across windows, like
-    the reference's noise reuse) for cross-framework parity runs."""
+    the reference's noise reuse) for cross-framework parity runs.
+
+    ``mesh``: optional 1-axis device mesh — the ``n_repetitions`` batch
+    is sharded over its first axis (multi-chip serving; XLA keeps the
+    whole windowed sampler data-parallel, carries included).
+    ``n_repetitions`` must then be a multiple of the mesh size."""
     cfg = model.cfg
     clip_len = int(len(audio) / 16000 * cfg.fps)
     stride = cfg.n_motions
@@ -67,12 +73,24 @@ def infer_coeffs(
 
     R = n_repetitions
     expand = lambda x: jnp.broadcast_to(x, (R,) + x.shape[1:]) if x.shape[0] == 1 and R > 1 else x
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        assert R % mesh.devices.size == 0, (R, mesh.devices.size)
+        _sharding = lambda x: jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(axis, *([None] * (x.ndim - 1)))
+        )
+        shard = lambda x: jax.device_put(x, _sharding(x))
+        expand_ = expand
+        expand = lambda x: shard(expand_(x))
     shape_in = expand(shape_coef)
 
     sample_fn = partial(
         sample, model, variables,
         cfg_mode=cfg_mode, cfg_cond=cfg_cond, cfg_scale=cfg_scale, dynamic_threshold=dynamic_threshold,
         noise_override=noise_override,
+        # the Pallas kernel is not SPMD-partitionable; sharded serving
+        # keeps the XLA decoder
+        fused_decoder=False if mesh is not None else None,
     )
     # two compiled programs, reused across all windows (same shapes)
     first_fn = jax.jit(lambda k, a, s, st, ind: sample_fn(k, a, s, st, indicator=ind, motion_at_T=motion_at_T))

@@ -63,9 +63,13 @@ class MotionGenerator:
         cfg_scale: float = 1.4,
         seed: int = 0,
         style_normalized: bool = False,
+        mesh=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """16 kHz audio (L,) -> (denormalized expression codes
-        (R, T, 64), head rotations (R, T, 3))."""
+        (R, T, 64), head rotations (R, T, 3)).
+
+        ``mesh``: optional 1-axis jax.sharding.Mesh — shards the
+        ``n_repetitions`` batch over chips (multi-chip serving)."""
         audio = np.asarray(audio_16k, np.float32)
         audio = (audio - audio.mean()) / (audio.std() + 1e-5)
         style = self.encode_style(style_motion, seed, style_normalized) if style_motion is not None else None
@@ -73,7 +77,7 @@ class MotionGenerator:
         coefs = infer_coeffs(
             self.model, self.model_vars, jax.random.PRNGKey(seed), jnp.asarray(audio),
             jnp.zeros((1, 100)), audio_unit=self.cfg.audio_unit, style_feats=style,
-            n_repetitions=n_repetitions, cfg_scale=cfg_scale, dynamic_threshold=None,
+            n_repetitions=n_repetitions, cfg_scale=cfg_scale, dynamic_threshold=None, mesh=mesh,
         )
         coefs = np.asarray(coefs)
         s = self.coef_stats

@@ -68,3 +68,29 @@ def test_generator_end_to_end(experiment):
     # different seed differs
     e3, _ = gen.generate(audio, style, n_repetitions=2, seed=4)
     assert not np.allclose(exp_code, e3)
+
+
+def test_generator_multichip_mesh(experiment):
+    """Sharded serving: n_repetitions split over an 8-virtual-device
+    mesh produces the same numbers as the unsharded path."""
+    import jax
+
+    from msmd_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (conftest sets the flag)")
+    stats = {
+        "exp_mean": np.zeros(64, np.float32), "exp_std": np.ones(64, np.float32),
+        "pose_mean": np.zeros(3, np.float32), "pose_std": np.ones(3, np.float32) * 10,
+    }
+    gen = MotionGenerator.from_experiment(experiment, "m", "0000007", stats)
+    rng = np.random.RandomState(1)
+    audio = rng.randn(16000).astype(np.float32) * 0.1
+    style = rng.randn(120, 67).astype(np.float32)
+
+    mesh = make_mesh(("data",))
+    e_sharded, r_sharded = gen.generate(audio, style, n_repetitions=8, seed=5, mesh=mesh)
+    e_local, r_local = gen.generate(audio, style, n_repetitions=8, seed=5)
+    assert e_sharded.shape == (8, 25, 64)
+    np.testing.assert_allclose(e_sharded, e_local, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(r_sharded, r_local, atol=1e-4, rtol=1e-4)
