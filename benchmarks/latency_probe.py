@@ -13,7 +13,11 @@ to locate the cost:
               gathers, elementwise mix) with the denoiser replaced by a
               single matmul (dispatch/elementwise floor)
 
-Interpretation: full - denoiser - scaffold ~ interaction/fusion losses.
+NOTE on comparability: 'full' runs the PRODUCTION sampler, which at
+small batch auto-enables the fused Pallas decoder and the bf16 weight
+pre-cast; 'denoiser' deliberately measures the UNFUSED XLA decoder on
+f32-stored weights as the before/after baseline. The fused-kernel-alone
+probe ('fused_kernel_only') is the like-for-like component of 'full'.
 Prints one JSON line per probe. Run on the axon TPU (default platform).
 """
 
@@ -28,25 +32,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 os.environ.setdefault("MSMD_BENCH_STEPS", "500")
 
 
-def timeit(fn, *args, reps=3):
-    # axon executes lazily: only host fetches run the program.
-    float(fn(*args))  # compile + warm
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return min(times)
+from _timing import configure_cache, timeit  # noqa: E402
 
 
 def main():
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/msmd_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
+    configure_cache()
     import jax.numpy as jnp
 
     from msmd_tpu.config import MSMDConfig
@@ -205,9 +197,8 @@ def main():
     print(json.dumps({
         "probe": "summary", "batch": B, "steps": n_steps,
         "full_s": round(results["full"], 4),
-        "denoiser_s": round(results["denoiser"], 4),
+        "xla_denoiser_s": round(results["denoiser"], 4),
         "scaffold_s": round(results["scaffold"], 4),
-        "unexplained_s": round(results["full"] - results["denoiser"] - results["scaffold"], 4),
         "full_rtf": round(window_s * B / results["full"], 2),
     }), flush=True)
 

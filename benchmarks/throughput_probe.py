@@ -27,24 +27,13 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def timeit(fn, *args, reps=3):
-    float(fn(*args))
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return min(times)
+from _timing import configure_cache, timeit  # noqa: E402
 
 
 def main():
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/msmd_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
+    configure_cache()
     import jax.numpy as jnp
 
     n_steps = int(os.environ.get("MSMD_BENCH_STEPS", "500"))

@@ -150,11 +150,14 @@ def _decoder_kernel(
     ln_scale, ln_bias, kmem, vmem, self_mask, cross_mask, x_out,
     *, n_heads: int,
 ):
-    l = pl.program_id(0)
+    # grid = (n_tiles, layers): tile OUTER so the output block (indexed by
+    # tile) is revisited on consecutive grid steps only — Pallas TPU
+    # forbids non-consecutive output revisits (stale-VMEM hazard)
+    l = pl.program_id(1)
 
     @pl.when(l == 0)
     def _():
-        x_out[:] = x_in[:]  # per row-tile: grid dim 1 indexes the tile
+        x_out[:] = x_in[:]  # load this tile's input at its first layer
 
     F = x_in.shape[-1]
     dh = F // n_heads
@@ -221,14 +224,14 @@ def fused_decoder_forward(
 ) -> jnp.ndarray:
     """Run the full decoder stack; returns (B, Lq, F) float32.
 
-    Row tiling (``tile_entries``) generalizes the kernel from the
-    latency regime (one tile holding the whole flattened batch) to the
-    throughput regime: grid = (layers, row_tiles), each tile holding
-    ``tile_entries`` whole batch entries so attention stays local to the
-    tile. Per-layer weights are fetched once per layer (tiles iterate in
-    the inner grid dimension); activation tiles round-trip HBM between
-    layers (~2 x R x F x 4 bytes per layer — far below the LN/residual/
-    glue traffic the unfused XLA path pays)."""
+    Row tiling (``tile_entries``) generalizes the kernel beyond the
+    latency regime (one tile holding the whole flattened batch):
+    grid = (row_tiles, layers), each tile holding ``tile_entries`` whole
+    batch entries so attention stays local to the tile. The tile is the
+    OUTER grid dimension so each output block's revisits are
+    consecutive (a Pallas TPU requirement); the price is that weights
+    re-stream once per tile, which is why the multi-tile mode loses to
+    the XLA decoder at large batch (see BENCH.md) and is opt-in only."""
     B, Lq, F = x.shape
     L = pack["wqkv"].shape[0]
     Mtot = kmem.shape[1]
@@ -241,13 +244,13 @@ def fused_decoder_forward(
     assert cross_mask.shape == (Rt, Mt), (cross_mask.shape, Rt, Mt)
     x_flat = x.reshape(B * Lq, F).astype(jnp.float32)
 
-    spec = lambda *blk: pl.BlockSpec(blk, lambda l, t: (l,) + (0,) * (len(blk) - 1))
+    spec = lambda *blk: pl.BlockSpec(blk, lambda t, l: (l,) + (0,) * (len(blk) - 1))
     # kv stored (L*n_tiles, Mt, F); block index = layer * n_tiles + tile
-    kv_spec = lambda: pl.BlockSpec((1, Mt, F), lambda l, t: (l * n_tiles + t, 0, 0))
-    const = lambda a: pl.BlockSpec(a.shape, lambda l, t: (0,) * a.ndim)
+    kv_spec = lambda: pl.BlockSpec((1, Mt, F), lambda t, l: (l * n_tiles + t, 0, 0))
+    const = lambda a: pl.BlockSpec(a.shape, lambda t, l: (0,) * a.ndim)
 
     in_specs = [
-        pl.BlockSpec((Rt, F), lambda l, t: (t, 0)),
+        pl.BlockSpec((Rt, F), lambda t, l: (t, 0)),
         spec(1, F, 3 * F), spec(1, 1, 3 * F),
         spec(1, F, F), spec(1, 1, F),
         spec(1, F, F), spec(1, 1, F),
@@ -260,9 +263,9 @@ def fused_decoder_forward(
     ]
     out = pl.pallas_call(
         functools.partial(_decoder_kernel, n_heads=n_heads),
-        grid=(L, n_tiles),
+        grid=(n_tiles, L),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((Rt, F), lambda l, t: (t, 0)),
+        out_specs=pl.BlockSpec((Rt, F), lambda t, l: (t, 0)),
         out_shape=jax.ShapeDtypeStruct((B * Lq, F), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

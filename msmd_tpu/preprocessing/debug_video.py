@@ -85,8 +85,11 @@ def write_debug_video(
         if not ret or n >= len(rotation_matrices) or n >= len(bbox_list):
             break
         R = rotation_matrices[n]
-        if R is not None:
-            overlay_pose_debug(frame, R, bbox_list[n], axis_length)
+        bbox = bbox_list[n]
+        # Step-1 stores [] for frames without a detection
+        # (step1_detect_faces) — pass those through without an overlay
+        if R is not None and bbox is not None and len(bbox) == 4:
+            overlay_pose_debug(frame, R, bbox, axis_length)
         out.write(frame)
         n += 1
     cap.release()

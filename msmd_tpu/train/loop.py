@@ -66,6 +66,16 @@ def trainable_mask(cfg: MSMDConfig, params) -> Any:
     return traverse_util.unflatten_dict(mask)
 
 
+def stretched_schedule(inner, accum: int):
+    """Map MultiSteps' per-update count onto the reference's
+    per-micro-iteration scheduler stepping (training_script.py:199-224):
+    the scheduler steps at the end of EVERY micro-iteration while the
+    optimizer steps every ``accum``, so the u-th optimizer update
+    (0-based) runs with the LR after ``u*accum + accum - 1`` scheduler
+    steps."""
+    return lambda count: inner(count * accum + (accum - 1))
+
+
 def make_optimizer(cfg: MSMDConfig, params) -> optax.GradientTransformation:
     """Adam (torch defaults) on the warmup(+cosine) schedule, with frozen
     subtrees masked out and optional gradient accumulation.
@@ -79,10 +89,7 @@ def make_optimizer(cfg: MSMDConfig, params) -> optax.GradientTransformation:
     accum = cfg.gradient_accumulation_steps
     schedule = make_schedule(cfg)
     if accum > 1:
-        # the reference steps its LR scheduler every micro-iteration
-        # (training_script.py:222-224) while the optimizer steps every k;
-        # MultiSteps advances Adam's count once per k, so stretch it back.
-        inner_schedule, schedule = schedule, (lambda count: inner_schedule(count * accum))
+        schedule = stretched_schedule(schedule, accum)
     adam = optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
     if accum > 1:
         adam = optax.chain(optax.scale(float(accum)), adam)

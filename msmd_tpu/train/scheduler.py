@@ -14,8 +14,11 @@ import jax.numpy as jnp
 
 
 def warmup_schedule(lr: float, warm_iter: int):
+    if warm_iter <= 0:  # no warmup requested -> constant lr
+        return lambda step: jnp.full_like(jnp.asarray(step, jnp.float32), lr)
+
     def schedule(step):
-        frac = jnp.minimum(step / max(warm_iter, 1), 1.0)
+        frac = jnp.minimum(step / warm_iter, 1.0)
         return lr * frac
 
     return schedule

@@ -151,7 +151,9 @@ class Trainer:
             if val_loader is not None and cfg.val_iter > 0 and (
                 (it % cfg.val_iter == 0 and it != 0 and it != self.start_iter) or it == max_iter
             ):
-                self.evaluate(val_loader, it, n_rounds=1, mode="val")
+                # fast path: a capped sample per periodic validation; the
+                # full finite-epoch default is for --mode test
+                self.evaluate(val_loader, it, n_rounds=1, mode="val", n_batches_per_round=8)
         return self.state
 
     # ------------------------------------------------------------------

@@ -103,7 +103,10 @@ def test_grad_accum_sums_like_reference():
     import optax
     from msmd_tpu.train.loop import make_optimizer, two_clip_loss
 
-    cfg = tiny_cfg(gradient_accumulation_steps=2, warm_iter=1, lr=1e-3)
+    # warm_iter=0 -> constant LR, so the LR applied by the accumulated
+    # update equals the oracle's and the SUM property is actually
+    # exercised (with a warmup the first LR is 0 and the check is vacuous)
+    cfg = tiny_cfg(gradient_accumulation_steps=2, warm_iter=0, lr=1e-3)
     model = get_diffusion_model(cfg, audio_config=TINY_AUDIO)
     style_enc = get_style_encoder(cfg, "vae2")
     state, tx = create_train_state(cfg, jax.random.PRNGKey(0), model, style_enc)
@@ -126,7 +129,7 @@ def test_grad_accum_sums_like_reference():
     accum_params = optax.apply_updates(optax.apply_updates(state.params, u1), u2)
 
     # oracle: one Adam step on the SUMMED grads (same masking)
-    cfg1 = tiny_cfg(gradient_accumulation_steps=1, warm_iter=1, lr=1e-3)
+    cfg1 = tiny_cfg(gradient_accumulation_steps=1, warm_iter=0, lr=1e-3)
     tx_ref = make_optimizer(cfg1, state.params)
     g_sum = jax.tree_util.tree_map(lambda a, b: a + b, g1, g2)
     u_ref, _ = tx_ref.update(g_sum, tx_ref.init(state.params), state.params)
@@ -135,7 +138,9 @@ def test_grad_accum_sums_like_reference():
     flat_a = jax.tree_util.tree_leaves(accum_params)
     flat_r = jax.tree_util.tree_leaves(ref_params)
     for a, r in zip(flat_a, flat_r):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-6, rtol=1e-5)
+        # MultiSteps stores the running MEAN and we rescale by k, so the
+        # sum is reproduced up to one extra f32 rounding per element
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-6, rtol=1e-4)
 
 
 def test_eval_never_truncates():
@@ -233,3 +238,32 @@ def test_data_parallel_step_8_devices():
     # params remain replicated after the update
     leaf = jax.tree_util.tree_leaves(state2.params["model"])[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_stretched_schedule_matches_reference_stepping():
+    """The reference steps its LR scheduler every micro-iteration while
+    the optimizer steps every accum (training_script.py:199-224): the
+    u-th optimizer update therefore uses the LR after u*accum + accum-1
+    scheduler steps."""
+    from msmd_tpu.train.loop import stretched_schedule
+    from msmd_tpu.train.scheduler import warmup_schedule
+
+    inner = warmup_schedule(1e-3, 10)
+    accum = 4
+    stretched = stretched_schedule(inner, accum)
+    for u in range(6):
+        np.testing.assert_allclose(
+            float(stretched(u)), float(inner(u * accum + accum - 1)), rtol=1e-7
+        )
+    # accum=1 degenerates to the plain schedule
+    s1 = stretched_schedule(inner, 1)
+    for u in range(6):
+        np.testing.assert_allclose(float(s1(u)), float(inner(u)), rtol=1e-7)
+
+
+def test_warmup_schedule_zero_warm_iter_is_constant():
+    from msmd_tpu.train.scheduler import warmup_schedule
+
+    f = warmup_schedule(2e-4, 0)
+    assert float(f(0)) == pytest.approx(2e-4)
+    assert float(f(100)) == pytest.approx(2e-4)
