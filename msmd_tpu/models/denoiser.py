@@ -130,6 +130,7 @@ class DenoisingNetwork(nn.Module):
         deterministic: bool = True,
         memory_kv: Optional[List[KVCache]] = None,
         fused_decoder: Optional[dict] = None,
+        fused_ffn: bool = False,
     ):
         cfg = self.cfg
         d_motion = cfg.motion_feat_dim
@@ -157,7 +158,13 @@ class DenoisingNetwork(nn.Module):
             feats_in = self.pe_dropout(feats_in, deterministic=deterministic)
 
         memory_mask = None
-        if cfg.align_mask_width > 0:
+        # width-1 band (the default): every motion row's softmax is a
+        # one-hot over exactly one memory token, so cross-attention is an
+        # exact V-gather (transformer.MultiHeadAttention._identity_band).
+        # Gated to deterministic mode: train-time attention dropout acts
+        # on the full weight matrix, so training keeps the masked softmax.
+        identity_band = cfg.align_mask_width == 1 and deterministic
+        if cfg.align_mask_width > 0 and not identity_band:
             memory_mask = alignment_mask(n_prev, n_cur, cfg.align_mask_width)
 
         if fused_decoder is not None:
@@ -177,7 +184,10 @@ class DenoisingNetwork(nn.Module):
             memory = None
             if memory_kv is None:
                 memory = jnp.concatenate([prev_audio_feat, audio_feat], axis=1).astype(self.dtype)
-            feat_out = self.transformer(feats_in, memory, memory_mask, deterministic, memory_kv=memory_kv)
+            feat_out = self.transformer(
+                feats_in, memory, memory_mask, deterministic, memory_kv=memory_kv,
+                cross_identity_band=identity_band, fused_ffn=fused_ffn and deterministic,
+            )
 
         # motion decoder (person token dropped)
         h = self.motion_dec_1(feat_out[:, 1:])

@@ -105,10 +105,12 @@ class MSMD(nn.Module):
         deterministic: bool = True,
         memory_kv=None,
         fused_decoder=None,
+        fused_ffn: bool = False,
     ):
         return self.denoising_net(
             motion_feat, audio_feat, person_feat, style_feat, prev_motion_feat, prev_audio_feat, step,
             indicator, keep_separate, deterministic, memory_kv=memory_kv, fused_decoder=fused_decoder,
+            fused_ffn=fused_ffn,
         )
 
     def cache_denoiser_memory_kv(self, prev_audio_feat, audio_feat):
@@ -490,7 +492,7 @@ def sample(
     fused = None
     if fused_decoder:
         from msmd_tpu.ops.pallas.decoder_kernel import (
-            build_masks, pack_decoder_weights, pack_memory_kv,
+            build_identity_band_aux, build_masks, pack_decoder_weights, pack_memory_kv,
         )
         from msmd_tpu.ops.seq import alignment_mask
 
@@ -500,8 +502,14 @@ def sample(
         tile = Be if Be <= 4 else max(d for d in range(1, 9) if Be % d == 0)
         n_prev = stacks["prev_motion_in"].shape[1]
         lq, lm = 1 + n_prev + n_motions, n_prev + n_motions
-        align = alignment_mask(n_prev, n_motions, cfg.align_mask_width) if cfg.align_mask_width > 0 else None
-        sm, cm = build_masks(tile, lq, lm, align)
+        if cfg.align_mask_width == 1:
+            # width-1 band: cross-attention is an exact V-gather for all
+            # motion rows (one-hot softmax); only person rows attend
+            sm, _ = build_masks(tile, lq, lm, None)
+            cm = build_identity_band_aux(tile, lq, lm, dtype=model.dtype)
+        else:
+            align = alignment_mask(n_prev, n_motions, cfg.align_mask_width) if cfg.align_mask_width > 0 else None
+            sm, cm = build_masks(tile, lq, lm, align)
         km, vm = pack_memory_kv(memory_kv, dtype=model.dtype)
         fused = dict(
             pack=pack_decoder_weights(
@@ -510,6 +518,18 @@ def sample(
             kmem=km, vmem=vm, self_mask=sm, cross_mask=cm, tile_entries=tile,
             interpret=jax.default_backend() == "cpu",
         )
+
+    # Fused FFN+LN Pallas kernel for the XLA (large-batch) decoder path:
+    # the FFN hidden state is the largest unfused HBM intermediate of the
+    # step (measured, benchmarks/glue_probe.py). The full fused-decoder
+    # kernel already covers it in the latency regime.
+    import os as _os
+
+    fused_ffn = (
+        fused is None
+        and model.dtype == jnp.bfloat16
+        and _os.environ.get("MSMD_FUSED_FFN", "1") != "0"
+    )
 
     def denoise_apply(motion_in, step_in):
         return model.apply(
@@ -524,6 +544,7 @@ def sample(
             stacks["indicator_in"],
             memory_kv=memory_kv,
             fused_decoder=fused,
+            fused_ffn=fused_ffn,
             method=MSMD.denoise,
         )
 

@@ -82,6 +82,26 @@ class MultiHeadAttention(nn.Module):
         y = x.astype(self.dtype) @ w + b
         return jnp.split(y, 3, axis=-1)
 
+    def _identity_band(self, q, kh, vh, deterministic):
+        """Cross-attention under the width-1 alignment band (the MSMD
+        default, ``align_mask_width=1`` — reference model.py:879-883):
+        every motion row i's band unmasks exactly ONE memory column
+        (i-1), so its softmax is exactly a one-hot and its output is
+        ``v[i-1]`` — no q/k products needed. Only the person row (row 0,
+        unmasked over the full memory) computes real attention. Exact
+        trace-time rewrite of the masked softmax; eval/sampling only
+        (train-mode attention dropout acts on the full weight matrix)."""
+        B, Lq, _ = q.shape
+        q0 = self.q_proj(q[:, :1]).reshape(B, 1, self.n_heads, self.head_dim)
+        scale = jnp.asarray(1.0 / self.head_dim ** 0.5, self.dtype)
+        logits0 = jnp.einsum("bqhd,bkhd->bhqk", q0 * scale, kh)
+        sm_dt = self.softmax_dtype or jnp.promote_types(logits0.dtype, jnp.float32)
+        w0 = nn.softmax(logits0.astype(sm_dt), axis=-1).astype(self.dtype)
+        w0 = self.attn_drop(w0, deterministic=deterministic)
+        person = jnp.einsum("bhqk,bkhd->bqhd", w0, vh)
+        out = jnp.concatenate([person, vh.astype(self.dtype)], axis=1)
+        return self.out_proj(out.reshape(B, Lq, self.dim))
+
     def __call__(
         self,
         q,
@@ -90,8 +110,17 @@ class MultiHeadAttention(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         kv_cache: Optional[KVCache] = None,
+        identity_band: bool = False,
     ):
         B, Lq, _ = q.shape
+        if identity_band and not self.is_initializing():
+            if kv_cache is not None:
+                kh, vh = kv_cache
+            else:
+                kh = self.k_proj(k).reshape(B, k.shape[1], self.n_heads, self.head_dim)
+                vh = self.v_proj(k if v is None else v).reshape(B, k.shape[1], self.n_heads, self.head_dim)
+            assert kh.shape[1] == Lq - 1, (kh.shape, Lq)
+            return self._identity_band(q, kh, vh, deterministic)
         self_attention = (k is None or k is q) and (v is None or v is k or v is q)
         if self_attention and kv_cache is None and not self.is_initializing():
             qp, kp, vp = self._fused_qkv(q)
@@ -165,6 +194,26 @@ class TransformerDecoderLayer(nn.Module):
     def memory_kv(self, memory: jnp.ndarray) -> KVCache:
         return self.cross_attn.project_kv(memory)
 
+    def _fused_ffn_ln(self, x):
+        """LayerNorm(x + FFN(x)) as one Pallas program — the FFN hidden
+        state ((rows, 4F), the largest unfused intermediate in the
+        sampling step) never touches HBM. Inference-only (dropout-free);
+        see ops/pallas/ffn_kernel.py for the measured motivation."""
+        import jax
+
+        from msmd_tpu.ops.pallas.ffn_kernel import fused_ffn_ln
+
+        p1 = self.ffn.variables["params"]["linear1"]
+        p2 = self.ffn.variables["params"]["linear2"]
+        ln = self.norm3.variables["params"]
+        return fused_ffn_ln(
+            x,
+            jnp.asarray(p1["kernel"]).astype(self.dtype), jnp.asarray(p1["bias"]).astype(self.dtype),
+            jnp.asarray(p2["kernel"]).astype(self.dtype), jnp.asarray(p2["bias"]).astype(self.dtype),
+            jnp.asarray(ln["scale"]), jnp.asarray(ln["bias"]),
+            interpret=jax.default_backend() == "cpu",
+        )
+
     def __call__(
         self,
         x,
@@ -172,13 +221,20 @@ class TransformerDecoderLayer(nn.Module):
         memory_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         memory_kv: Optional[KVCache] = None,
+        cross_identity_band: bool = False,
+        fused_ffn: bool = False,
     ):
         sa = self.self_attn(x, x, x, deterministic=deterministic)
         x = self.norm1(x + self.drop(sa, deterministic=deterministic))
 
-        ca = self.cross_attn(x, memory, memory, mask=memory_mask, deterministic=deterministic, kv_cache=memory_kv)
+        ca = self.cross_attn(
+            x, memory, memory, mask=memory_mask, deterministic=deterministic,
+            kv_cache=memory_kv, identity_band=cross_identity_band,
+        )
         x = self.norm2(x + self.drop(ca, deterministic=deterministic))
 
+        if fused_ffn and not self.is_initializing():
+            return self._fused_ffn_ln(x)
         ff = self.ffn(x, deterministic=deterministic)
         x = self.norm3(x + self.drop(ff, deterministic=deterministic))
         return x
@@ -217,10 +273,13 @@ class TransformerDecoder(nn.Module):
         memory_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         memory_kv: Optional[List[KVCache]] = None,
+        cross_identity_band: bool = False,
+        fused_ffn: bool = False,
     ):
         for i, layer in enumerate(self.layers):
             kv = memory_kv[i] if memory_kv is not None else None
-            x = layer(x, memory, memory_mask, deterministic, memory_kv=kv)
+            x = layer(x, memory, memory_mask, deterministic, memory_kv=kv,
+                      cross_identity_band=cross_identity_band, fused_ffn=fused_ffn)
         return x
 
 

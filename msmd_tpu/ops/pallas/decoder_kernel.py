@@ -117,6 +117,34 @@ def build_masks(batch: int, lq: int, lm: int, alignment_bool) -> Tuple[jnp.ndarr
     return self_mask, cross_mask
 
 
+def build_identity_band_aux(batch: int, lq: int, lm: int, dtype=jnp.bfloat16):
+    """Auxiliary arrays for the width-1 alignment band (identity-band)
+    cross-attention inside the kernel (see ``_decoder_kernel``):
+
+    - ``person_mask``  (B, B*lm) f32 additive: person row of entry e may
+      attend only its own entry's memory block.
+    - ``sel_pq``  (B, B*lq): one-hot selector extracting the person rows
+      from the flattened activations (row e*lq) via a tiny matmul.
+    - ``sel_ps``  (B*lq, B): scatters person attention outputs back to
+      rows e*lq.
+    - ``sel_vm``  (B*lq, B*lm): scatters memory-V rows to the motion rows
+      (row e*lq + 1 + i <- memory row e*lm + i) — the exact one-hot
+      softmax result of the width-1 band, realized as a single matmul
+      instead of per-head QK/softmax/PV.
+    """
+    eye = np.eye(batch, dtype=np.float32)
+    person_mask = jnp.asarray((1.0 - np.kron(eye, np.ones((1, lm), np.float32))) * NEG)
+    sel_pq = np.zeros((batch, batch * lq), np.float32)
+    sel_ps = np.zeros((batch * lq, batch), np.float32)
+    sel_vm = np.zeros((batch * lq, batch * lm), np.float32)
+    for e in range(batch):
+        sel_pq[e, e * lq] = 1.0
+        sel_ps[e * lq, e] = 1.0
+        for i in range(lm):
+            sel_vm[e * lq + 1 + i, e * lm + i] = 1.0
+    return person_mask, jnp.asarray(sel_pq, dtype), jnp.asarray(sel_ps, dtype), jnp.asarray(sel_vm, dtype)
+
+
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
@@ -145,11 +173,14 @@ def _gelu(x):
     return x * 0.5 * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
 
 
-def _decoder_kernel(
-    x_in, wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
-    ln_scale, ln_bias, kmem, vmem, self_mask, cross_mask, x_out,
-    *, n_heads: int,
-):
+def _decoder_kernel(*refs, n_heads: int, identity_band: bool):
+    if identity_band:
+        (x_in, wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
+         ln_scale, ln_bias, kmem, vmem, self_mask, person_mask, sel_pq, sel_ps, sel_vm,
+         x_out) = refs
+    else:
+        (x_in, wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
+         ln_scale, ln_bias, kmem, vmem, self_mask, cross_mask, x_out) = refs
     # grid = (n_tiles, layers): tile OUTER so the output block (indexed by
     # tile) is revisited on consecutive grid steps only — Pallas TPU
     # forbids non-consecutive output revisits (stale-VMEM hazard)
@@ -190,15 +221,32 @@ def _decoder_kernel(
     x = _layernorm(x + sa, ln_scale[0, 0], ln_bias[0, 0])
 
     # ---- cross-attention (cached memory K/V) ---------------------------
-    qc = dot(x, wcq[0]) + bcq[0].astype(jnp.float32)  # (R, F)
     km, vm = kmem[0], vmem[0]  # (M, F) in pack dtype
-    heads = []
-    for h in range(n_heads):
-        q = qc[:, h * dh : (h + 1) * dh] * scale
-        s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + cross_mask[:]
-        p = jax.nn.softmax(s, axis=-1)
-        heads.append(dot(p, vm[:, h * dh : (h + 1) * dh]))
-    ca = jnp.concatenate(heads, axis=-1)
+    if identity_band:
+        # width-1 alignment band (the MSMD default): every motion row's
+        # masked softmax is exactly a one-hot over memory token i, so its
+        # output is vm[i] — realized as the one-hot selector matmul
+        # sel_vm @ vm. Only the T person rows (one per tile entry) compute
+        # real attention over their entry's memory block.
+        xp = dot(sel_pq[:], x.astype(cdt))  # (T, F) person activations
+        qp = dot(xp, wcq[0]) + bcq[0].astype(jnp.float32)
+        heads = []
+        for h in range(n_heads):
+            q = qp[:, h * dh : (h + 1) * dh] * scale
+            s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + person_mask[:]
+            p = jax.nn.softmax(s, axis=-1)
+            heads.append(dot(p, vm[:, h * dh : (h + 1) * dh]))
+        person_out = jnp.concatenate(heads, axis=-1)  # (T, F)
+        ca = dot(sel_ps[:], person_out.astype(cdt)) + dot(sel_vm[:], vm)
+    else:
+        qc = dot(x, wcq[0]) + bcq[0].astype(jnp.float32)  # (R, F)
+        heads = []
+        for h in range(n_heads):
+            q = qc[:, h * dh : (h + 1) * dh] * scale
+            s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + cross_mask[:]
+            p = jax.nn.softmax(s, axis=-1)
+            heads.append(dot(p, vm[:, h * dh : (h + 1) * dh]))
+        ca = jnp.concatenate(heads, axis=-1)
     ca = dot(ca, wco[0]) + bco[0].astype(jnp.float32)
     x = _layernorm(x + ca, ln_scale[0, 1], ln_bias[0, 1])
 
@@ -217,7 +265,10 @@ def fused_decoder_forward(
     vmem: jnp.ndarray,  # (L, B*Lm, F)
     x: jnp.ndarray,  # (B, Lq, F) any float dtype
     self_mask: jnp.ndarray,  # (T*Lq, T*Lq) f32 additive, T = tile_entries
-    cross_mask: jnp.ndarray,  # (T*Lq, T*Lm) f32 additive
+    cross_mask: jnp.ndarray,  # (T*Lq, T*Lm) f32 additive — OR, in
+    # identity-band mode, the 4-tuple from build_identity_band_aux
+    # (person_mask (T, T*Lm), sel_pq (T, T*Lq), sel_ps (T*Lq, T),
+    # sel_vm (T*Lq, T*Lm)); mode is selected by the tuple structure
     n_heads: int,
     tile_entries: int = 0,  # batch entries per row tile; 0 = all of B
     interpret: bool = False,
@@ -240,8 +291,16 @@ def fused_decoder_forward(
     assert B % T == 0, (B, T)
     n_tiles = B // T
     Rt, Mt = T * Lq, T * Lm
+    identity_band = isinstance(cross_mask, (tuple, list))
     assert self_mask.shape == (Rt, Rt), (self_mask.shape, Rt)
-    assert cross_mask.shape == (Rt, Mt), (cross_mask.shape, Rt, Mt)
+    if identity_band:
+        person_mask, sel_pq, sel_ps, sel_vm = cross_mask
+        assert Lq == Lm + 1, (Lq, Lm)
+        assert person_mask.shape == (T, Mt), (person_mask.shape, T, Mt)
+        cross_inputs = [person_mask, sel_pq, sel_ps, sel_vm]
+    else:
+        assert cross_mask.shape == (Rt, Mt), (cross_mask.shape, Rt, Mt)
+        cross_inputs = [cross_mask]
     x_flat = x.reshape(B * Lq, F).astype(jnp.float32)
 
     spec = lambda *blk: pl.BlockSpec(blk, lambda t, l: (l,) + (0,) * (len(blk) - 1))
@@ -259,10 +318,10 @@ def fused_decoder_forward(
         spec(1, pack["wf2"].shape[1], F), spec(1, 1, F),
         spec(1, 3, F), spec(1, 3, F),
         kv_spec(), kv_spec(),
-        const(self_mask), const(cross_mask),
-    ]
+        const(self_mask),
+    ] + [const(a) for a in cross_inputs]
     out = pl.pallas_call(
-        functools.partial(_decoder_kernel, n_heads=n_heads),
+        functools.partial(_decoder_kernel, n_heads=n_heads, identity_band=identity_band),
         grid=(n_tiles, L),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((Rt, F), lambda t, l: (t, 0)),
@@ -276,6 +335,6 @@ def fused_decoder_forward(
         pack["wf1"], pack["bf1"], pack["wf2"], pack["bf2"],
         pack["ln_scale"], pack["ln_bias"],
         kmem.reshape(L * n_tiles, Mt, F), vmem.reshape(L * n_tiles, Mt, F),
-        self_mask, cross_mask,
+        self_mask, *cross_inputs,
     )
     return out.reshape(B, Lq, F)

@@ -140,3 +140,27 @@ def test_fused_decoder_row_tiling():
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
                                    err_msg=f"tile={tile}")
+
+
+def test_fused_decoder_identity_band():
+    """identity-band (width-1) kernel mode == flax decoder with the
+    width-1 alignment mask, across row tilings."""
+    from msmd_tpu.ops.pallas.decoder_kernel import build_identity_band_aux
+
+    B, Lq, Lm, F, H, L = 4, 14, 13, 32, 4, 3
+    n_prev, n_cur = 4, 9
+    dec, variables, x, mem = _setup(B, Lq, Lm, F, H, L, seed=11)
+    align = alignment_mask(n_prev, n_cur, 1)  # (1+13, 13), width-1 band
+    kv = dec.apply(variables, jnp.asarray(mem), method=TransformerDecoder.cache_memory)
+    want = dec.apply(variables, jnp.asarray(x), None, align, True, memory_kv=kv)
+
+    pack = pack_decoder_weights(variables["params"], L, dtype=jnp.float32)
+    km, vm = pack_memory_kv(kv, dtype=jnp.float32)
+    for tile in (1, 2, 4):
+        sm, _ = build_masks(tile, Lq, Lm, None)
+        aux = build_identity_band_aux(tile, Lq, Lm, dtype=jnp.float32)
+        got = fused_decoder_forward(
+            pack, km, vm, jnp.asarray(x), sm, aux, n_heads=H, tile_entries=tile, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
+                                   err_msg=f"tile={tile}")

@@ -1,0 +1,58 @@
+"""Fused FFN+LN Pallas kernel == flax FeedForward + LayerNorm
+(msmd_tpu/ops/pallas/ffn_kernel.py; interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from msmd_tpu.models.transformer import TransformerDecoder
+from msmd_tpu.ops.pallas.ffn_kernel import _pick_tile, fused_ffn_ln
+
+
+def test_pick_tile():
+    assert _pick_tile(252) == 252
+    assert _pick_tile(12096) == 504
+    assert _pick_tile(1024) == 512
+    assert _pick_tile(7) == 7
+
+
+def test_fused_ffn_matches_flax_f32():
+    import flax.linen as nn
+
+    from msmd_tpu.models.transformer import FeedForward
+
+    F, FFN = 32, 64
+    ffn = FeedForward(F, FFN)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(3, 14, F).astype(np.float32))
+    variables = ffn.init(jax.random.PRNGKey(0), x)
+    ln = nn.LayerNorm(epsilon=1e-5)
+    ln_vars = ln.init(jax.random.PRNGKey(1), x)
+    # randomize LN affine params
+    ln_vars = {"params": {"scale": jnp.asarray(rs.randn(F).astype(np.float32) * 0.1 + 1.0),
+                          "bias": jnp.asarray(rs.randn(F).astype(np.float32) * 0.1)}}
+
+    want = ln.apply(ln_vars, x + ffn.apply(variables, x))
+    p = variables["params"]
+    got = fused_ffn_ln(
+        x,
+        p["linear1"]["kernel"], p["linear1"]["bias"],
+        p["linear2"]["kernel"], p["linear2"]["bias"],
+        ln_vars["params"]["scale"], ln_vars["params"]["bias"],
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6, rtol=1e-5)
+
+
+def test_decoder_fused_ffn_path_matches():
+    """TransformerDecoder(fused_ffn=True) == the plain flax path."""
+    B, Lq, Lm, F, H, L = 2, 10, 9, 32, 4, 2
+    dec = TransformerDecoder(L, F, H, 64)
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(B, Lq, F).astype(np.float32))
+    mem = jnp.asarray(rs.randn(B, Lm, F).astype(np.float32))
+    variables = dec.init(jax.random.PRNGKey(0), x, mem)
+
+    want = dec.apply(variables, x, mem, None, True)
+    got = dec.apply(variables, x, mem, None, True, fused_ffn=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)

@@ -74,3 +74,28 @@ def test_decoder_stack_matches_torch():
     with torch.no_grad():
         want = oracle(torch.from_numpy(x), torch.from_numpy(mem))
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=5e-5)
+
+
+def test_cross_identity_band_equals_masked_softmax():
+    """cross_identity_band=True (the width-1 V-gather rewrite) must equal
+    the masked-softmax path with alignment_mask(width=1) exactly."""
+    from msmd_tpu.ops.seq import alignment_mask
+
+    n_prev, n_cur = 3, 7
+    Lq = 1 + n_prev + n_cur
+    Lm = n_prev + n_cur
+    dec = TransformerDecoder(2, DIM, HEADS, FFN)
+    rs = np.random.RandomState(8)
+    x = jnp.asarray(rs.randn(2, Lq, DIM).astype(np.float32))
+    mem = jnp.asarray(rs.randn(2, Lm, DIM).astype(np.float32))
+    variables = dec.init(jax.random.PRNGKey(0), x, mem)
+
+    align = alignment_mask(n_prev, n_cur, 1)
+    want = dec.apply(variables, x, mem, align, True)
+    got = dec.apply(variables, x, mem, None, True, cross_identity_band=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6, rtol=1e-6)
+
+    # and through the cached-KV path used by the sampler
+    kv = dec.apply(variables, mem, method=TransformerDecoder.cache_memory)
+    got_kv = dec.apply(variables, x, None, None, True, memory_kv=kv, cross_identity_band=True)
+    np.testing.assert_allclose(np.asarray(got_kv), np.asarray(want), atol=1e-6, rtol=1e-6)
