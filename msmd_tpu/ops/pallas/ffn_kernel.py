@@ -45,12 +45,13 @@ def _ffn_kernel(x_ref, wf1, bf1, wf2, bf2, g, b, out_ref):
 
 def _pick_tile(rows: int, target: int = 512) -> int:
     """Largest row-tile <= target that divides ``rows`` and satisfies the
-    Pallas TPU sublane constraint (multiple of 8), falling back to the
-    whole array (always legal) when no such divisor exists."""
+    Pallas TPU sublane tiling for every supported dtype (multiple of 16:
+    bf16 needs (16, 128) tiles — 8 only suffices for f32), falling back
+    to the whole array (always legal) when no such divisor exists."""
     if rows <= target:
         return rows
     best = 0
-    for d in range(8, target + 1, 8):
+    for d in range(16, target + 1, 16):
         if rows % d == 0:
             best = d
     return best or rows

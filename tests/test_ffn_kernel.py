@@ -10,10 +10,14 @@ from msmd_tpu.ops.pallas.ffn_kernel import _pick_tile, fused_ffn_ln
 
 
 def test_pick_tile():
-    assert _pick_tile(252) == 252
-    assert _pick_tile(12096) == 504
+    assert _pick_tile(252) == 252  # whole array always legal
     assert _pick_tile(1024) == 512
     assert _pick_tile(7) == 7
+    # production row counts: tiles must divide rows AND be 16-multiples
+    # (bf16 sublane tiling); 10656 = 96 entries x 111 tokens
+    for rows in (10656, 12096, 7104):
+        t = _pick_tile(rows)
+        assert rows % t == 0 and t % 16 == 0 and t <= 512, (rows, t)
 
 
 def test_fused_ffn_matches_flax_f32():

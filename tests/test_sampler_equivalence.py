@@ -167,3 +167,27 @@ def test_sampler_condition_subsets(conds):
     else:
         with pytest.raises(ValueError, match="style_feat is required"):
             sample(model, variables, jax.random.PRNGKey(7), audio_feat, shape, None)
+
+
+def test_precomputed_noise_bit_identical():
+    """The hoisted key-split noise chain (latency regime) must reproduce
+    the in-scan split/normal sequence bit-for-bit."""
+    import jax
+
+    from msmd_tpu.models.diffusion import get_diffusion_model, sample
+
+    cfg = tiny_cfg()
+    model = get_diffusion_model(cfg)
+    key = jax.random.PRNGKey(0)
+    B = 2
+    audio = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.n_audio_samples))
+    shape = jnp.zeros((B, cfg.shape_feat_dim))
+    style = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.d_style))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(3), "diffusion": jax.random.PRNGKey(4)},
+        jnp.zeros((B, cfg.n_motions, cfg.motion_feat_dim)), audio, shape, style,
+        deterministic=True,
+    )
+    m_pre, _, _ = sample(model, variables, key, audio, shape, style, precompute_noise=True)
+    m_scan, _, _ = sample(model, variables, key, audio, shape, style, precompute_noise=False)
+    np.testing.assert_array_equal(np.asarray(m_pre), np.asarray(m_scan))
