@@ -116,6 +116,15 @@ class DenoisingNetwork(nn.Module):
         memory = jnp.concatenate([prev_audio_feat, audio_feat], axis=1).astype(self.dtype)
         return self.transformer.cache_memory(memory)
 
+    def precompute_step_emb(self) -> jnp.ndarray:
+        """The diffusion-step embedding (PE row + 2-layer GELU MLP) for
+        EVERY timestep 0..n_diff_steps as one (T+1, F) table. The MLP is
+        rowwise, so ``table[t] == diff_step_map(t)`` exactly; sampling
+        precomputes this once and turns the per-step embedding inside the
+        scan into a single gather (the MLP is t-dependent, so XLA's loop
+        LICM cannot hoist it by itself)."""
+        return self.diff_step_map(jnp.arange(self.cfg.n_diff_steps + 1))
+
     def __call__(
         self,
         motion_feat: jnp.ndarray,  # (N, L, d_motion) noisy motion
@@ -131,13 +140,17 @@ class DenoisingNetwork(nn.Module):
         memory_kv: Optional[List[KVCache]] = None,
         fused_decoder: Optional[dict] = None,
         fused_ffn: bool = False,
+        step_emb_table: Optional[jnp.ndarray] = None,
     ):
         cfg = self.cfg
         d_motion = cfg.motion_feat_dim
         n_prev, n_cur = prev_motion_feat.shape[1], motion_feat.shape[1]
 
         # diffusion-step conditioning rides on the person token
-        step_emb = self.diff_step_map(step)[:, None, :]
+        if step_emb_table is not None:
+            step_emb = step_emb_table[step][:, None, :].astype(self.dtype)
+        else:
+            step_emb = self.diff_step_map(step)[:, None, :]
         person = self.person_proj(person_feat.astype(self.dtype)) + step_emb
 
         feats_in = jnp.concatenate([prev_motion_feat, motion_feat], axis=1).astype(self.dtype)

@@ -106,12 +106,16 @@ class MSMD(nn.Module):
         memory_kv=None,
         fused_decoder=None,
         fused_ffn: bool = False,
+        step_emb_table=None,
     ):
         return self.denoising_net(
             motion_feat, audio_feat, person_feat, style_feat, prev_motion_feat, prev_audio_feat, step,
             indicator, keep_separate, deterministic, memory_kv=memory_kv, fused_decoder=fused_decoder,
-            fused_ffn=fused_ffn,
+            fused_ffn=fused_ffn, step_emb_table=step_emb_table,
         )
+
+    def precompute_step_emb(self):
+        return self.denoising_net.precompute_step_emb()
 
     def cache_denoiser_memory_kv(self, prev_audio_feat, audio_feat):
         """Precompute per-layer cross-attention K/V of the audio memory —
@@ -532,6 +536,108 @@ def sample(
         and _os.environ.get("MSMD_FUSED_FFN", "1") != "0"
     )
 
+    # step-embedding MLP precomputed for all T steps (exact rowwise
+    # rewrite): the in-scan per-step embedding becomes one gather
+    step_emb_table = model.apply(variables, method=MSMD.precompute_step_emb)
+
+    # Latency regime: hoist the per-step PRNG (split + normal) out of the
+    # scan by precomputing the noise for all T steps with the IDENTICAL
+    # sequential key-split chain the scan body would use — bit-identical
+    # outputs, ~4 fewer ops inside the per-op-latency-bound hot loop.
+    # Gated to small batches: the (T, B, L, D) buffer is 13 MB at batch 1
+    # but would be ~650 MB at the batch-48 throughput config.
+    if precompute_noise is None:
+        precompute_noise = batch_size <= 4
+    if noise_override is None and precompute_noise:
+        def _chain(k, _):
+            k2, kz = jax.random.split(k)
+            return k2, kz
+
+        _, _kzs = jax.lax.scan(_chain, key, None, length=sched.num_steps)
+        noise_override = jax.vmap(
+            lambda kk: jax.random.normal(kk, motion_at_T.shape, motion_at_T.dtype)
+        )(_kzs)
+
+    # --- fully-fused sampler step (batch-1 latency regime): the ENTIRE
+    # DDPM step — token-row build, decoder stack, motion decode with
+    # style-basis combine, CFG mix, x_t -> x_{t-1} update — as ONE Pallas
+    # program per scan iteration (ops/pallas/decoder_kernel.py
+    # fused_sampler_step). The XLA scan body shrinks to two table
+    # gathers + the kernel call.
+    mega = None
+    if (
+        fused is not None
+        and batch_size == 1
+        and cfg.align_mask_width == 1
+        and fused["tile_entries"] == n_entries
+        and guidance_indice is None
+        and dynamic_threshold is None
+        and not cfg.no_use_learnable_pe
+        and not model.use_head_alpha
+        and noise_override is not None  # per-step noise precomputed
+        and _os.environ.get("MSMD_FUSED_STEP", "1") != "0"
+    ):
+        from msmd_tpu.ops.pallas.decoder_kernel import build_sampler_step_aux
+
+        dn = variables["params"]["denoising_net"]
+        E, P, N, D = n_entries, stacks["prev_motion_in"].shape[1], n_motions, cfg.motion_feat_dim
+        lq, lm = 1 + P + N, P + N
+        f32 = jnp.float32
+        ind = stacks["indicator_in"]
+        ind_row = (ind[0] if ind is not None else jnp.ones((N,), f32)).astype(f32)
+        prev_rows = stacks["prev_motion_in"][0].astype(f32)
+        if cfg.use_indicator:
+            # prev rows carry indicator channel 0 (denoiser.py concat)
+            prev_rows = jnp.concatenate([prev_rows, jnp.zeros((P, 1), f32)], axis=1)
+        persons_pre = (
+            stacks["person_in"][:, 0, :].astype(f32) @ jnp.asarray(dn["person_proj"]["kernel"], f32)
+            + jnp.asarray(dn["person_proj"]["bias"], f32)
+        )  # (E, F)
+        pe_flat = jnp.tile(jnp.asarray(dn["PE"], f32)[0], (E, 1))  # (E*lq, F)
+        style_e = stacks["style_in"][:, 0, :].astype(f32)
+        statics = []
+        for kb in range(cfg.num_of_basis):
+            mp = dn[f"static_feature_mapping_{kb}"]
+            hh = jax.nn.gelu(
+                style_e @ jnp.asarray(mp["linear1"]["kernel"], f32) + jnp.asarray(mp["linear1"]["bias"], f32),
+                approximate=False,
+            )
+            statics.append(hh @ jnp.asarray(mp["linear2"]["kernel"], f32) + jnp.asarray(mp["linear2"]["bias"], f32))
+        statics_rows = jnp.stack([jnp.repeat(s, N, axis=0) for s in statics])  # (K, E*N, D)
+        pose_sum_rows = jnp.repeat(sum(statics)[:, -3:], N, axis=0)  # (E*N, 3)
+        person_mask_a, sel_pq_a, sel_ps_a, sel_vm_a = fused["cross_mask"]
+        sel_pp, sel_mm, sel_tail = build_sampler_step_aux(E, lq, lm, P, N, dtype=model.dtype)
+        mega_const = dict(
+            prev_rows=prev_rows, ind_col=ind_row[:, None],
+            wfp=jnp.asarray(dn["feature_proj"]["kernel"]).astype(model.dtype),
+            bfp=jnp.asarray(dn["feature_proj"]["bias"], f32)[None, :],
+            persons_pre=persons_pre, pe_flat=pe_flat,
+            self_mask=fused["self_mask"], person_mask=person_mask_a,
+            sel_pq=sel_pq_a, sel_ps=sel_ps_a, sel_vm=sel_vm_a,
+            sel_pp=sel_pp, sel_mm=sel_mm, sel_tail=sel_tail,
+            wd1=jnp.asarray(dn["motion_dec_1"]["kernel"]).astype(model.dtype),
+            bd1=jnp.asarray(dn["motion_dec_1"]["bias"], f32)[None, :],
+            wd2=jnp.asarray(dn["motion_dec_2"]["kernel"]).astype(model.dtype),
+            bd2=jnp.asarray(dn["motion_dec_2"]["bias"], f32)[None, :],
+            statics_rows=statics_rows, pose_sum_rows=pose_sum_rows,
+        )
+        # per-step DDPM scalars [A, B, sigma]: motion_next =
+        # A*x_t + B*target + sigma*z covers both target modes exactly
+        t_all = jnp.arange(sched.num_steps + 1)
+        al = sched.alphas[t_all]
+        ab = sched.alpha_bars[t_all]
+        ab_prev = sched.alpha_bars[jnp.maximum(t_all - 1, 0)]
+        sig = sched.get_sigmas(t_all, flexibility)
+        denom = jnp.where(t_all > 0, 1.0 - ab, 1.0)
+        if cfg.target == "sample":
+            A_t = (1.0 - ab_prev) * jnp.sqrt(al) / denom
+            B_t = (1.0 - al) * jnp.sqrt(ab_prev) / denom
+        else:  # noise
+            A_t = 1.0 / jnp.sqrt(al)
+            B_t = -A_t * (1.0 - al) / jnp.sqrt(denom)
+        sc_tab = jnp.stack([A_t, B_t, sig] + [jnp.zeros_like(A_t)] * 5, axis=1).astype(f32)
+        mega = dict(const=mega_const, sc_tab=sc_tab)
+
     def denoise_apply(motion_in, step_in):
         return model.apply(
             variables,
@@ -546,6 +652,7 @@ def sample(
             memory_kv=memory_kv,
             fused_decoder=fused,
             fused_ffn=fused_ffn,
+            step_emb_table=step_emb_table,
             method=MSMD.denoise,
         )
 
@@ -558,6 +665,26 @@ def sample(
             k, kz = jax.random.split(k)
             z = jax.random.normal(kz, motion_at_t.shape, motion_at_t.dtype)
         z = jnp.where(t > 1, z, jnp.zeros_like(z))
+
+        if mega is not None:
+            from msmd_tpu.ops.pallas.decoder_kernel import fused_sampler_step
+
+            m_next = fused_sampler_step(
+                fused["pack"], fused["kmem"], fused["vmem"],
+                motion_at_t[0].astype(jnp.float32),
+                step_emb_table[t][None, :].astype(jnp.float32),
+                mega["sc_tab"][t][None, :],
+                z[0].astype(jnp.float32),
+                mega["const"],
+                n_heads=cfg.n_heads, n_entries=n_entries, n_cur=n_motions,
+                d_motion=cfg.motion_feat_dim, num_basis=cfg.num_of_basis,
+                use_indicator=cfg.use_indicator,
+                sigmoid_alpha=cfg.regularize_alpha == "sigmoid",
+                coefficients=tuple(float(c) for c in stacks["coefficients"]),
+                interpret=fused["interpret"],
+            )
+            motion_next = m_next[None].astype(motion_at_t.dtype)
+            return (motion_next, k), motion_next if ret_traj else None
 
         alpha = sched.alphas[t]
         alpha_bar = sched.alpha_bars[t]
@@ -586,24 +713,6 @@ def sample(
         else:
             raise ValueError(f"Unknown target type: {cfg.target}")
         return (motion_next, k), motion_next if ret_traj else None
-
-    # Latency regime: hoist the per-step PRNG (split + normal) out of the
-    # scan by precomputing the noise for all T steps with the IDENTICAL
-    # sequential key-split chain the scan body would use — bit-identical
-    # outputs, ~4 fewer ops inside the per-op-latency-bound hot loop.
-    # Gated to small batches: the (T, B, L, D) buffer is 13 MB at batch 1
-    # but would be ~650 MB at the batch-48 throughput config.
-    if precompute_noise is None:
-        precompute_noise = batch_size <= 4
-    if noise_override is None and precompute_noise:
-        def _chain(k, _):
-            k2, kz = jax.random.split(k)
-            return k2, kz
-
-        _, _kzs = jax.lax.scan(_chain, key, None, length=sched.num_steps)
-        noise_override = jax.vmap(
-            lambda kk: jax.random.normal(kk, motion_at_T.shape, motion_at_T.dtype)
-        )(_kzs)
 
     ts = jnp.arange(sched.num_steps, 0, -1)
     xs = ts if noise_override is None else (ts, noise_override.astype(motion_at_T.dtype))

@@ -338,3 +338,233 @@ def fused_decoder_forward(
         self_mask, *cross_inputs,
     )
     return out.reshape(B, Lq, F)
+
+
+# ---------------------------------------------------------------------------
+# fused SAMPLER-STEP kernel: prologue (feature proj + person/step token +
+# PE) and epilogue (motion decoder + style-basis combine + CFG mix + DDPM
+# update) folded around the layer-streamed decoder stack, so one whole
+# denoising step of the batch-1 latency regime is ONE Pallas program.
+# ---------------------------------------------------------------------------
+
+def build_sampler_step_aux(n_entries: int, lq: int, lm: int, n_prev: int, n_cur: int, dtype=jnp.bfloat16):
+    """Selectors for the sampler-step kernel over the flattened
+    (n_entries * lq, F) row layout (batch 1, single tile):
+
+    - ``sel_pp``  (E*lq, E): scatters the E person tokens to rows e*lq.
+    - ``sel_mm``  (E*lq, lm): scatters the SHARED motion-feature rows
+      (identical across CFG entries — same noisy motion) to rows
+      e*lq + 1 + i.
+    - ``sel_tail`` (E*n_cur, E*lq): gathers the last n_cur motion rows of
+      every entry for the epilogue's motion decoder.
+    """
+    E = n_entries
+    sel_pp = np.zeros((E * lq, E), np.float32)
+    sel_mm = np.zeros((E * lq, lm), np.float32)
+    sel_tail = np.zeros((E * n_cur, E * lq), np.float32)
+    for e in range(E):
+        sel_pp[e * lq, e] = 1.0
+        for i in range(lm):
+            sel_mm[e * lq + 1 + i, i] = 1.0
+        for i in range(n_cur):
+            sel_tail[e * n_cur + i, e * lq + 1 + n_prev + i] = 1.0
+    return (jnp.asarray(sel_pp, dtype), jnp.asarray(sel_mm, dtype), jnp.asarray(sel_tail, dtype))
+
+
+def _sampler_step_kernel(
+    # per-step inputs
+    motion_t, emb_row, sc, z,
+    # prologue constants
+    prev_rows, ind_col, wfp, bfp, persons_pre, pe_flat,
+    # layer-streamed weights (leading dim = layer)
+    wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2, ln_scale, ln_bias,
+    kmem, vmem,
+    # masks / selectors
+    self_mask, person_mask, sel_pq, sel_ps, sel_vm, sel_pp, sel_mm, sel_tail,
+    # epilogue constants
+    wd1, bd1, wd2, bd2, statics_rows, pose_sum_rows,
+    # outputs / scratch
+    out_ref, x_scr,
+    *, n_heads: int, n_entries: int, n_cur: int, d_motion: int, num_basis: int,
+    use_indicator: bool, sigmoid_alpha: bool, coefficients,
+):
+    l = pl.program_id(0)
+    L = pl.num_programs(0)
+    F = wso.shape[-1]
+    dh = F // n_heads
+    scale = 1.0 / np.sqrt(dh)
+    cdt = wqkv.dtype
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a.astype(cdt), b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def dot_t(a, b):  # a @ b.T
+        return jax.lax.dot_general(
+            a.astype(cdt), b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    # ---- prologue (first grid step): build the token rows -------------
+    @pl.when(l == 0)
+    def _():
+        if use_indicator:
+            cur = jnp.concatenate([motion_t[:], ind_col[:]], axis=1)
+        else:
+            cur = motion_t[:]
+        rows = jnp.concatenate([prev_rows[:], cur], axis=0)  # (lm, Din)
+        feats_m = dot(rows, wfp[:]) + bfp[:].astype(jnp.float32)  # (lm, F)
+        persons = persons_pre[:] + emb_row[:]  # (E, F) + (1, F)
+        x0 = (
+            dot(sel_pp[:], persons.astype(cdt))
+            + dot(sel_mm[:], feats_m.astype(cdt))
+            + pe_flat[:]
+        )
+        x_scr[:] = x0
+
+    x = x_scr[:]
+
+    # ---- decoder layer (identity-band cross attention) ----------------
+    qkv = dot(x, wqkv[0]) + bqkv[0].astype(jnp.float32)
+    heads = []
+    for h in range(n_heads):
+        q = qkv[:, h * dh : (h + 1) * dh] * scale
+        k = qkv[:, F + h * dh : F + (h + 1) * dh]
+        v = qkv[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
+        s = dot_t(q, k.astype(cdt)) + self_mask[:]
+        p = jax.nn.softmax(s, axis=-1)
+        heads.append(dot(p, v.astype(cdt)))
+    sa = jnp.concatenate(heads, axis=-1)
+    sa = dot(sa, wso[0]) + bso[0].astype(jnp.float32)
+    x = _layernorm(x + sa, ln_scale[0, 0], ln_bias[0, 0])
+
+    km, vm = kmem[0], vmem[0]
+    xp = dot(sel_pq[:], x.astype(cdt))
+    qp = dot(xp, wcq[0]) + bcq[0].astype(jnp.float32)
+    heads = []
+    for h in range(n_heads):
+        q = qp[:, h * dh : (h + 1) * dh] * scale
+        s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + person_mask[:]
+        p = jax.nn.softmax(s, axis=-1)
+        heads.append(dot(p, vm[:, h * dh : (h + 1) * dh]))
+    person_out = jnp.concatenate(heads, axis=-1)
+    ca = dot(sel_ps[:], person_out.astype(cdt)) + dot(sel_vm[:], vm)
+    ca = dot(ca, wco[0]) + bco[0].astype(jnp.float32)
+    x = _layernorm(x + ca, ln_scale[0, 1], ln_bias[0, 1])
+
+    h1 = _gelu(dot(x, wf1[0]) + bf1[0].astype(jnp.float32))
+    ff = dot(h1, wf2[0]) + bf2[0].astype(jnp.float32)
+    x = _layernorm(x + ff, ln_scale[0, 2], ln_bias[0, 2])
+    x_scr[:] = x
+
+    # ---- epilogue (last grid step): decode + CFG + DDPM ---------------
+    @pl.when(l == L - 1)
+    def _():
+        feats_tail = dot(sel_tail[:], x.astype(cdt))  # (E*n_cur, F)
+        hdec = _gelu(dot(feats_tail, wd1[:]) + bd1[:].astype(jnp.float32))
+        dec = dot(hdec, wd2[:]) + bd2[:].astype(jnp.float32)  # (E*n_cur, D+K)
+        dynamic = dec[:, :d_motion]
+        alphas = dec[:, d_motion : d_motion + num_basis]
+        if sigmoid_alpha:
+            alphas = jax.nn.sigmoid(alphas)
+        # face channels get the alpha-weighted statics; the 3 head-pose
+        # channels get the plain static sum (use_head_alpha=False, the
+        # MSMD default — reference model.py:983-990)
+        face = dynamic[:, : d_motion - 3]
+        for kb in range(num_basis):
+            face = face + alphas[:, kb : kb + 1] * statics_rows[kb, :, : d_motion - 3]
+        pose = dynamic[:, d_motion - 3 :] + pose_sum_rows[:]
+        out = jnp.concatenate([face, pose], axis=1)  # (E*n_cur, D)
+        target = jnp.zeros((n_cur, d_motion), jnp.float32)
+        for e in range(n_entries):
+            target = target + np.float32(coefficients[e]) * out[e * n_cur : (e + 1) * n_cur]
+        A = sc[0, 0]
+        Bc = sc[0, 1]
+        sg = sc[0, 2]
+        out_ref[:] = A * motion_t[:] + Bc * target + sg * z[:]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_heads", "n_entries", "n_cur", "d_motion", "num_basis",
+    "use_indicator", "sigmoid_alpha", "coefficients", "interpret",
+))
+def fused_sampler_step(
+    pack: dict,
+    kmem: jnp.ndarray,  # (L, E*Lm, F)
+    vmem: jnp.ndarray,  # (L, E*Lm, F)
+    motion_t: jnp.ndarray,  # (n_cur, D) f32 — current noisy motion, batch 1
+    emb_row: jnp.ndarray,  # (1, F) f32 — diffusion-step embedding
+    sc: jnp.ndarray,  # (1, 8) f32 — [A, B, sigma, ...pad] DDPM scalars
+    z: jnp.ndarray,  # (n_cur, D) f32 — pre-masked noise for this step
+    const: dict,  # prologue/epilogue constants + masks/selectors
+    n_heads: int,
+    n_entries: int,
+    n_cur: int,
+    d_motion: int,
+    num_basis: int,
+    use_indicator: bool,
+    sigmoid_alpha: bool,
+    coefficients: tuple,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ONE full DDPM denoising step (batch 1) as one Pallas program.
+
+    Covers: token-row construction (feature proj + person/step token +
+    learnable PE), the n_layer decoder stack (identity-band cross
+    attention), the motion decoder with style-basis alpha decomposition
+    (use_head_alpha=False), the CFG linear combination, and the DDPM
+    x_t -> x_{t-1} update. Returns motion_next (n_cur, d_motion) f32.
+    Reference semantics: model.py:820-996 (denoiser) + model.py:377-435
+    (sampler loop)."""
+    L = pack["wqkv"].shape[0]
+    F = pack["wso"].shape[-1]
+    Mt = kmem.shape[1]
+    Rt = const["self_mask"].shape[0]
+
+    lspec = lambda *blk: pl.BlockSpec(blk, lambda l: (l,) + (0,) * (len(blk) - 1))
+    const_spec = lambda a: pl.BlockSpec(a.shape, lambda l: (0,) * a.ndim)
+
+    const_order = (
+        "prev_rows", "ind_col", "wfp", "bfp", "persons_pre", "pe_flat",
+    )
+    mask_order = (
+        "self_mask", "person_mask", "sel_pq", "sel_ps", "sel_vm",
+        "sel_pp", "sel_mm", "sel_tail",
+    )
+    epi_order = ("wd1", "bd1", "wd2", "bd2", "statics_rows", "pose_sum_rows")
+
+    inputs = [motion_t, emb_row, sc, z]
+    in_specs = [const_spec(a) for a in inputs]
+    inputs += [const[k] for k in const_order]
+    in_specs += [const_spec(const[k]) for k in const_order]
+    layer_arrs = [
+        pack["wqkv"], pack["bqkv"], pack["wso"], pack["bso"],
+        pack["wcq"], pack["bcq"], pack["wco"], pack["bco"],
+        pack["wf1"], pack["bf1"], pack["wf2"], pack["bf2"],
+        pack["ln_scale"], pack["ln_bias"],
+    ]
+    inputs += layer_arrs
+    in_specs += [lspec(*((1,) + a.shape[1:])) for a in layer_arrs]
+    inputs += [kmem, vmem]
+    in_specs += [lspec(1, Mt, F), lspec(1, Mt, F)]
+    inputs += [const[k] for k in mask_order]
+    in_specs += [const_spec(const[k]) for k in mask_order]
+    inputs += [const[k] for k in epi_order]
+    in_specs += [const_spec(const[k]) for k in epi_order]
+
+    kernel = functools.partial(
+        _sampler_step_kernel,
+        n_heads=n_heads, n_entries=n_entries, n_cur=n_cur, d_motion=d_motion,
+        num_basis=num_basis, use_indicator=use_indicator,
+        sigmoid_alpha=sigmoid_alpha, coefficients=coefficients,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((n_cur, d_motion), lambda l: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_cur, d_motion), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Rt, F), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)

@@ -164,3 +164,49 @@ def test_fused_decoder_identity_band():
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
                                    err_msg=f"tile={tile}")
+
+
+def test_fused_sampler_step_f32_three_way(monkeypatch):
+    """Mega sampler-step kernel (f32 pack) == fused decoder-stack path ==
+    XLA path, to tight f32 tolerance, including the DDPM update, CFG mix
+    and style-basis epilogue."""
+    from msmd_tpu.config import MSMDConfig
+    from msmd_tpu.models.audio import AudioEncoderConfig
+    from msmd_tpu.models.diffusion import get_diffusion_model, sample
+
+    cfg = MSMDConfig(
+        feature_dim=32, n_heads=4, n_layers=2, mlp_ratio=2, d_style=16,
+        n_motions=8, n_prev_motions=4, n_diff_steps=4, num_of_basis=2,
+        use_indicator=True, compute_dtype="float32", regularize_alpha="sigmoid",
+    )
+    audio_cfg = AudioEncoderConfig(
+        hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+        conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3), conv_stride=(5, 4, 4),
+    )
+    model = get_diffusion_model(cfg, audio_config=audio_cfg, dtype=jnp.float32)
+    rs = np.random.RandomState(3)
+    motion = jnp.zeros((1, cfg.n_motions, cfg.motion_feat_dim))
+    audio = jnp.asarray(rs.randn(1, cfg.n_audio_samples).astype(np.float32) * 0.1)
+    shape = jnp.asarray(rs.randn(1, 100).astype(np.float32) * 0.1)
+    style = jnp.asarray(rs.randn(1, cfg.d_style).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        motion, audio, shape, style, deterministic=True,
+    )
+    mT = jnp.asarray(rs.randn(1, cfg.n_motions, cfg.motion_feat_dim).astype(np.float32))
+    z = jnp.asarray(rs.randn(cfg.n_diff_steps, 1, cfg.n_motions, cfg.motion_feat_dim).astype(np.float32))
+    kw = dict(motion_at_T=mT, noise_override=z)
+
+    m_mega, _, _ = sample(model, variables, jax.random.PRNGKey(2), audio, shape, style,
+                          fused_decoder=True, **kw)
+    monkeypatch.setenv("MSMD_FUSED_STEP", "0")
+    m_stack, _, _ = sample(model, variables, jax.random.PRNGKey(2), audio, shape, style,
+                           fused_decoder=True, **kw)
+    m_xla, _, _ = sample(model, variables, jax.random.PRNGKey(2), audio, shape, style,
+                         fused_decoder=False, **kw)
+    a = np.asarray(m_mega, np.float32)
+    b = np.asarray(m_stack, np.float32)
+    c = np.asarray(m_xla, np.float32)
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-4)
+    np.testing.assert_allclose(a, c, atol=5e-4, rtol=1e-4)

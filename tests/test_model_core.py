@@ -270,3 +270,17 @@ def test_dynamic_thresholding(model_and_params):
         dynamic_threshold=(0.99, 0.5, 4.0),
     )
     assert np.isfinite(np.asarray(m)).all()
+
+
+def test_step_emb_table_exact(model_and_params):
+    """precompute_step_emb()[t] must equal the per-step diff_step_map
+    exactly (the MLP is rowwise over timesteps)."""
+    cfg, model, variables = model_and_params
+    table = model.apply(variables, method=MSMD.precompute_step_emb)
+    assert table.shape == (cfg.n_diff_steps + 1, cfg.feature_dim)
+    steps = jnp.asarray([0, 1, cfg.n_diff_steps])
+    direct = model.apply(
+        variables, steps,
+        method=lambda m, s: m.denoising_net.diff_step_map(s),
+    )
+    np.testing.assert_array_equal(np.asarray(table[steps]), np.asarray(direct))
