@@ -201,7 +201,16 @@ class TransformerDecoderLayer(nn.Module):
         see ops/pallas/ffn_kernel.py for the measured motivation."""
         import jax
 
-        from msmd_tpu.ops.pallas.ffn_kernel import fused_ffn_ln
+        from msmd_tpu.ops.pallas.ffn_kernel import _pick_tile, fused_ffn_ln
+
+        rows = 1
+        for s in x.shape[:-1]:
+            rows *= s
+        if _pick_tile(rows) > 2048:
+            # no VMEM-sized row tile divides this batch shape — the
+            # whole-array fallback would blow the VMEM budget; keep XLA
+            ff = self.ffn(x, deterministic=True)
+            return self.norm3(x + ff)
 
         p1 = self.ffn.variables["params"]["linear1"]
         p2 = self.ffn.variables["params"]["linear2"]

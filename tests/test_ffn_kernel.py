@@ -60,3 +60,18 @@ def test_decoder_fused_ffn_path_matches():
     want = dec.apply(variables, x, mem, None, True)
     got = dec.apply(variables, x, mem, None, True, fused_ffn=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+def test_decoder_fused_ffn_untileable_rows_falls_back():
+    """Row counts with no 16-multiple divisor must fall back to the flax
+    FFN instead of a VMEM-oversized whole-array kernel tile."""
+    B, Lq, Lm, F, H, L = 1, 10, 9, 32, 4, 1
+    dec = TransformerDecoder(L, F, H, 64)
+    rs = np.random.RandomState(9)
+    # rows = 1 * 4243 (prime) -> _pick_tile falls back to rows
+    x = jnp.asarray(rs.randn(1, 4243, F).astype(np.float32))
+    mem = jnp.asarray(rs.randn(1, Lm, F).astype(np.float32))
+    variables = dec.init(jax.random.PRNGKey(0), x, mem)
+    want = dec.apply(variables, x, mem, None, True)
+    got = dec.apply(variables, x, mem, None, True, fused_ffn=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
