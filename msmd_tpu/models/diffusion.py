@@ -106,12 +106,13 @@ class MSMD(nn.Module):
         memory_kv=None,
         fused_decoder=None,
         fused_ffn: bool = False,
+        fused_tail: int = 0,
         step_emb_table=None,
     ):
         return self.denoising_net(
             motion_feat, audio_feat, person_feat, style_feat, prev_motion_feat, prev_audio_feat, step,
             indicator, keep_separate, deterministic, memory_kv=memory_kv, fused_decoder=fused_decoder,
-            fused_ffn=fused_ffn, step_emb_table=step_emb_table,
+            fused_ffn=fused_ffn, fused_tail=fused_tail, step_emb_table=step_emb_table,
         )
 
     def precompute_step_emb(self):
@@ -535,6 +536,25 @@ def sample(
         and model.dtype == jnp.bfloat16
         and _os.environ.get("MSMD_FUSED_FFN", "1") != "0"
     )
+    # Fused layer-TAIL kernel (supersedes the FFN kernel when usable):
+    # out-proj + residual/LN1 + identity-band cross + residual/LN2 + FFN
+    # + LN3 as one program per layer — only the self-attention einsums
+    # and the per-entry person-row cross attention stay in XLA.
+    # Measured at batch 48: 65.3x vs 69.9x for the FFN-kernel path — the
+    # person-row split costs more than the extra fused round-trips save
+    # (see layer_tail_kernel.py docstring). Opt-in only.
+    fused_tail = False
+    if (
+        fused_ffn
+        and cfg.align_mask_width == 1
+        and _os.environ.get("MSMD_FUSED_TAIL", "0") == "1"
+    ):
+        from msmd_tpu.ops.pallas.layer_tail_kernel import tail_rows_tile
+
+        _lm = stacks["prev_motion_in"].shape[1] + n_motions
+        fused_tail = bool(tail_rows_tile(Be * _lm))
+        if fused_tail:
+            fused_ffn = False
 
     # step-embedding MLP precomputed for all T steps (exact rowwise
     # rewrite): the in-scan per-step embedding becomes one gather
@@ -652,6 +672,7 @@ def sample(
             memory_kv=memory_kv,
             fused_decoder=fused,
             fused_ffn=fused_ffn,
+            fused_tail=fused_tail,
             step_emb_table=step_emb_table,
             method=MSMD.denoise,
         )

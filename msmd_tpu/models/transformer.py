@@ -102,6 +102,22 @@ class MultiHeadAttention(nn.Module):
         out = jnp.concatenate([person, vh.astype(self.dtype)], axis=1)
         return self.out_proj(out.reshape(B, Lq, self.dim))
 
+    def self_attn_preproj(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Self-attention WITHOUT the final out-projection (merged heads):
+        the fused layer-tail kernel absorbs out_proj together with the
+        residual/LN/cross/FFN chain. Deterministic (no attention
+        dropout), mask-free — exactly the sampling-path self-attention."""
+        B, Lq, _ = x.shape
+        qp, kp, vp = self._fused_qkv(x)
+        qh = qp.reshape(B, Lq, self.n_heads, self.head_dim)
+        kh = kp.reshape(B, Lq, self.n_heads, self.head_dim)
+        vh = vp.reshape(B, Lq, self.n_heads, self.head_dim)
+        scale = jnp.asarray(1.0 / self.head_dim ** 0.5, self.dtype)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh * scale, kh)
+        sm_dt = self.softmax_dtype or jnp.promote_types(logits.dtype, jnp.float32)
+        weights = nn.softmax(logits.astype(sm_dt), axis=-1).astype(self.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", weights, vh).reshape(B, Lq, self.dim)
+
     def __call__(
         self,
         q,
@@ -223,6 +239,63 @@ class TransformerDecoderLayer(nn.Module):
             interpret=jax.default_backend() == "cpu",
         )
 
+    def _fused_tail(self, x, kv_cache: KVCache):
+        """Self-attention einsums in XLA (they run at peak as batched
+        einsums), then EVERYTHING after them for the MOTION rows —
+        out-proj, residual+LN1, identity-band cross V-gather + out-proj,
+        residual+LN2, FFN, LN3 — as ONE row-tiled Pallas program with
+        all intermediates VMEM-resident
+        (ops/pallas/layer_tail_kernel.py). The person rows (one per
+        entry) take the identical algebra here in XLA — a handful of
+        (B, 1, F)-sized ops — and are concatenated back."""
+        import jax
+
+        from msmd_tpu.ops.pallas.layer_tail_kernel import fused_layer_tail
+
+        B, Lq, F = x.shape
+        sa_pre = self.self_attn.self_attn_preproj(x)
+
+        # ---- person rows (XLA, tiny) ---------------------------------
+        pso = self.self_attn.out_proj(sa_pre[:, :1])
+        x1_p = self.norm1(x[:, :1] + pso)
+        kh, vh = kv_cache
+        Lm, H, Dh = kh.shape[1], kh.shape[2], kh.shape[3]
+        q0 = self.cross_attn.q_proj(x1_p).reshape(B, 1, H, Dh)
+        scale = jnp.asarray(1.0 / Dh ** 0.5, self.dtype)
+        logits0 = jnp.einsum("bqhd,bkhd->bhqk", q0 * scale, kh)
+        sm_dt = self.softmax_dtype or jnp.promote_types(logits0.dtype, jnp.float32)
+        w0 = nn.softmax(logits0.astype(sm_dt), axis=-1).astype(self.dtype)
+        person = jnp.einsum("bhqk,bkhd->bqhd", w0, vh).reshape(B, 1, F)
+        x2_p = self.norm2(x1_p + self.cross_attn.out_proj(person))
+        out_p = self.norm3(x2_p + self.ffn(x2_p, deterministic=True))
+
+        # ---- motion rows (Pallas tail kernel) ------------------------
+        sp = self.self_attn.variables["params"]["out_proj"]
+        cp = self.cross_attn.variables["params"]["out_proj"]
+        fp = self.ffn.variables["params"]
+        ln_scale = jnp.stack([
+            jnp.asarray(self.norm1.variables["params"]["scale"]),
+            jnp.asarray(self.norm2.variables["params"]["scale"]),
+            jnp.asarray(self.norm3.variables["params"]["scale"]),
+        ]).astype(jnp.float32)
+        ln_bias = jnp.stack([
+            jnp.asarray(self.norm1.variables["params"]["bias"]),
+            jnp.asarray(self.norm2.variables["params"]["bias"]),
+            jnp.asarray(self.norm3.variables["params"]["bias"]),
+        ]).astype(jnp.float32)
+        cast = lambda a: jnp.asarray(a).astype(self.dtype)
+        out_m = fused_layer_tail(
+            sa_pre[:, 1:], x[:, 1:],
+            vh.reshape(B * Lm, H * Dh).astype(self.dtype),
+            cast(sp["kernel"]), cast(sp["bias"]),
+            cast(cp["kernel"]), cast(cp["bias"]),
+            cast(fp["linear1"]["kernel"]), cast(fp["linear1"]["bias"]),
+            cast(fp["linear2"]["kernel"]), cast(fp["linear2"]["bias"]),
+            ln_scale, ln_bias,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return jnp.concatenate([out_p.astype(out_m.dtype), out_m], axis=1)
+
     def __call__(
         self,
         x,
@@ -232,7 +305,15 @@ class TransformerDecoderLayer(nn.Module):
         memory_kv: Optional[KVCache] = None,
         cross_identity_band: bool = False,
         fused_ffn: bool = False,
+        fused_tail: bool = False,
     ):
+        if (
+            fused_tail
+            and cross_identity_band
+            and memory_kv is not None
+            and not self.is_initializing()
+        ):
+            return self._fused_tail(x, memory_kv)
         sa = self.self_attn(x, x, x, deterministic=deterministic)
         x = self.norm1(x + self.drop(sa, deterministic=deterministic))
 
@@ -284,11 +365,13 @@ class TransformerDecoder(nn.Module):
         memory_kv: Optional[List[KVCache]] = None,
         cross_identity_band: bool = False,
         fused_ffn: bool = False,
+        fused_tail: int = 0,
     ):
         for i, layer in enumerate(self.layers):
             kv = memory_kv[i] if memory_kv is not None else None
             x = layer(x, memory, memory_mask, deterministic, memory_kv=kv,
-                      cross_identity_band=cross_identity_band, fused_ffn=fused_ffn)
+                      cross_identity_band=cross_identity_band, fused_ffn=fused_ffn,
+                      fused_tail=fused_tail)
         return x
 
 

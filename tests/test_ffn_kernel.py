@@ -75,3 +75,32 @@ def test_decoder_fused_ffn_untileable_rows_falls_back():
     want = dec.apply(variables, x, mem, None, True)
     got = dec.apply(variables, x, mem, None, True, fused_ffn=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+def test_fused_layer_tail_matches_flax():
+    """fused_tail (motion-row layer-tail kernel + XLA person tail) ==
+    identity-band flax path, single and multi row tile."""
+    Lq, Lm, F, H, L = 13, 12, 32, 4, 2
+    for Be in (2, 8):  # rows = Be*12: 24 (1 tile) and 96 (16-mult tiles)
+        dec = TransformerDecoder(L, F, H, 64)
+        rs = np.random.RandomState(11 + Be)
+        x = jnp.asarray(rs.randn(Be, Lq, F).astype(np.float32))
+        mem = jnp.asarray(rs.randn(Be, Lm, F).astype(np.float32))
+        variables = dec.init(jax.random.PRNGKey(0), x, mem)
+        kv = dec.apply(variables, mem, method=TransformerDecoder.cache_memory)
+
+        want = dec.apply(variables, x, None, None, True, memory_kv=kv,
+                         cross_identity_band=True)
+        got = dec.apply(variables, x, None, None, True, memory_kv=kv,
+                        cross_identity_band=True, fused_tail=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5, rtol=1e-4, err_msg=f"Be={Be}")
+
+
+def test_tail_rows_tile():
+    from msmd_tpu.ops.pallas.layer_tail_kernel import tail_rows_tile
+
+    t = tail_rows_tile(96 * 110)  # production batch-48 shapes
+    assert t and 10560 % t == 0 and t % 16 == 0 and t <= 512
+    assert tail_rows_tile(24) == 24  # whole-array tile (small batch)
+    assert tail_rows_tile(4243) == 0  # prime rows -> fallback
