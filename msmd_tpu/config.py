@@ -82,6 +82,10 @@ class MSMDConfig:
     log_iter: int = 100
     save_iter: int = 10000
     val_iter: int = 10000
+    # TPU extra: cap the batches per periodic-validation round (<=0 =
+    # the reference semantics — one FULL finite val epoch per round,
+    # training_script.py:241 with n_rounds=1)
+    val_batches_cap: int = 0
     log_smooth_win: int = 50
     continue_from: Optional[str] = None
 

@@ -63,9 +63,13 @@ def _resample_axis0(arr: np.ndarray, new_len: int) -> np.ndarray:
 
 
 def incremental_mean_and_std(clips: Sequence[Dict], exp_dim: int = 64):
-    """Streaming mean/std of expression (64) and pose (3) over full clips
-    (reference: datasets.py:93-139 streams over random crops instead;
-    full-clip statistics are the unbiased version of the same estimate)."""
+    """Streaming mean/std of expression (64) and pose (3) over FULL clips.
+
+    Library helper; note the dataset itself now computes its stats with
+    the reference's sampling instead (random two-window crops including
+    short-clip zero padding — see
+    ``MotionClipDataset._stats_from_random_crops``, reference:
+    datasets.py:93-139 + 250-257)."""
     exp_sum = exp_sq = pose_sum = pose_sq = 0.0
     n = 0
     for clip in clips:
@@ -156,7 +160,7 @@ class MotionClipDataset:
             stats = dict(np.load(coef_stats_file))
             self.coef_stats = {k: np.asarray(v, np.float32) for k, v in stats.items()}
         else:
-            em, es, pm, ps = incremental_mean_and_std([self.data[k] for k in self.file_names], exp_dim)
+            em, es, pm, ps = self._stats_from_random_crops()
             self.coef_stats = {"exp_mean": em, "exp_std": es, "pose_mean": pm, "pose_std": ps}
 
     def __len__(self):
@@ -168,16 +172,11 @@ class MotionClipDataset:
         pose = (pose - s["pose_mean"]) / (s["pose_std"] + 1e-9)
         return exp, pose
 
-    def __getitem__(self, index: int):
-        clip = self.data[self.entries[index]]
-        audio = np.asarray(clip["audio"], np.float32)
-        exp = np.asarray(clip["expression_code"], np.float32)
-        pose = np.asarray(clip["head_orientation"], np.float32)
-
-        # per-clip audio z-score BEFORE padding (reference: datasets.py:269-271)
-        a_mean, a_std = float(audio.mean()), float(audio.std())
-        audio = (audio - a_mean) / (a_std + 1e-5)
-
+    def _crop_two_windows(self, exp: np.ndarray, pose: np.ndarray, audio: np.ndarray):
+        """The two-adjacent-window random crop, UNNORMALIZED (reference:
+        datasets.py:281-338). Shared by __getitem__ and the stats pass
+        (which the reference runs through the same __getitem__ before
+        coef_stats exists). Returns [(audio_w, exp_w, pose_w)] * 2."""
         total, each = self.coef_total_len, self.clip_len
         cur = exp.shape[0]
 
@@ -202,10 +201,62 @@ class MotionClipDataset:
         windows = []
         for w in range(2):
             a, b = s1 + w * each, s1 + (w + 1) * each
-            e_w, p_w = self._normalize(exp[a:b, : self.exp_dim], pose[a:b])
-            motion = np.concatenate([e_w, p_w], axis=-1)
-            audio_w = audio[int(a * self.audio_unit) : int(b * self.audio_unit)]
-            windows.append((audio_w, motion))
+            windows.append(
+                (
+                    audio[int(a * self.audio_unit) : int(b * self.audio_unit)],
+                    exp[a:b, : self.exp_dim],
+                    pose[a:b],
+                )
+            )
+        return windows
+
+    def _stats_from_random_crops(self, exp_dim: Optional[int] = None):
+        """Reference stats semantics (datasets.py:93-139 driven through
+        __getitem__ at :250-257): stream mean/std over each clip's
+        random-cropped two windows — INCLUDING the zero padding of short
+        clips — rather than over full clips."""
+        exp_dim = exp_dim if exp_dim is not None else self.exp_dim
+        exp_sum = exp_sq = pose_sum = pose_sq = 0.0
+        n = 0
+        for key in self.entries:
+            clip = self.data[key]
+            exp = np.asarray(clip["expression_code"], np.float32)
+            pose = np.asarray(clip["head_orientation"], np.float32)
+            audio = np.asarray(clip["audio"], np.float32)
+            for _, e_w, p_w in self._crop_two_windows(exp, pose, audio):
+                e = e_w[:, :exp_dim].astype(np.float64)
+                p = p_w.astype(np.float64)
+                exp_sum = exp_sum + e.sum(0)
+                exp_sq = exp_sq + (e**2).sum(0)
+                pose_sum = pose_sum + p.sum(0)
+                pose_sq = pose_sq + (p**2).sum(0)
+                n += e.shape[0]
+        exp_mean = exp_sum / n
+        pose_mean = pose_sum / n
+        exp_std = np.sqrt(np.maximum(exp_sq / n - exp_mean**2, 0))
+        pose_std = np.sqrt(np.maximum(pose_sq / n - pose_mean**2, 0))
+        return (
+            exp_mean.astype(np.float32),
+            exp_std.astype(np.float32),
+            pose_mean.astype(np.float32),
+            pose_std.astype(np.float32),
+        )
+
+    def __getitem__(self, index: int):
+        clip = self.data[self.entries[index]]
+        audio = np.asarray(clip["audio"], np.float32)
+        exp = np.asarray(clip["expression_code"], np.float32)
+        pose = np.asarray(clip["head_orientation"], np.float32)
+
+        # per-clip audio z-score BEFORE padding (reference: datasets.py:269-271)
+        a_mean, a_std = float(audio.mean()), float(audio.std())
+        audio = (audio - a_mean) / (a_std + 1e-5)
+
+        each = self.clip_len
+        windows = []
+        for audio_w, e_w, p_w in self._crop_two_windows(exp, pose, audio):
+            e_n, p_n = self._normalize(e_w, p_w)
+            windows.append((audio_w, np.concatenate([e_n, p_n], axis=-1)))
 
         shape = np.zeros((each, 100), np.float32)  # zero shape coefs (datasets.py:355)
         return (

@@ -140,7 +140,7 @@ class DenoisingNetwork(nn.Module):
         memory_kv: Optional[List[KVCache]] = None,
         fused_decoder: Optional[dict] = None,
         fused_ffn: bool = False,
-        fused_tail: int = 0,
+        fused_tail: bool = False,
         step_emb_table: Optional[jnp.ndarray] = None,
     ):
         cfg = self.cfg
@@ -201,7 +201,7 @@ class DenoisingNetwork(nn.Module):
             feat_out = self.transformer(
                 feats_in, memory, memory_mask, deterministic, memory_kv=memory_kv,
                 cross_identity_band=identity_band, fused_ffn=fused_ffn and deterministic,
-                fused_tail=fused_tail if (identity_band and memory_kv is not None) else 0,
+                fused_tail=fused_tail if (identity_band and memory_kv is not None) else False,
             )
 
         # motion decoder (person token dropped)

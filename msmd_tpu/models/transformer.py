@@ -307,8 +307,15 @@ class TransformerDecoderLayer(nn.Module):
         fused_ffn: bool = False,
         fused_tail: bool = False,
     ):
+        # Fused Pallas paths are dropout-free: they are only valid in
+        # deterministic (eval/sampling) mode. Gating on `deterministic`
+        # here (not just in the denoiser caller) means a direct caller
+        # passing fused flags with deterministic=False falls through to
+        # the exact dropout-carrying algebra instead of silently
+        # dropping attention/FFN/residual dropout.
         if (
             fused_tail
+            and deterministic
             and cross_identity_band
             and memory_kv is not None
             and not self.is_initializing()
@@ -323,7 +330,7 @@ class TransformerDecoderLayer(nn.Module):
         )
         x = self.norm2(x + self.drop(ca, deterministic=deterministic))
 
-        if fused_ffn and not self.is_initializing():
+        if fused_ffn and deterministic and not self.is_initializing():
             return self._fused_ffn_ln(x)
         ff = self.ffn(x, deterministic=deterministic)
         x = self.norm3(x + self.drop(ff, deterministic=deterministic))
@@ -365,7 +372,7 @@ class TransformerDecoder(nn.Module):
         memory_kv: Optional[List[KVCache]] = None,
         cross_identity_band: bool = False,
         fused_ffn: bool = False,
-        fused_tail: int = 0,
+        fused_tail: bool = False,
     ):
         for i, layer in enumerate(self.layers):
             kv = memory_kv[i] if memory_kv is not None else None

@@ -151,9 +151,11 @@ class Trainer:
             if val_loader is not None and cfg.val_iter > 0 and (
                 (it % cfg.val_iter == 0 and it != 0 and it != self.start_iter) or it == max_iter
             ):
-                # fast path: a capped sample per periodic validation; the
-                # full finite-epoch default is for --mode test
-                self.evaluate(val_loader, it, n_rounds=1, mode="val", n_batches_per_round=8)
+                # reference semantics: one full finite val epoch per
+                # periodic validation (training_script.py:241, n_rounds=1);
+                # cfg.val_batches_cap > 0 caps it (TPU fast-path extra)
+                cap = cfg.val_batches_cap if cfg.val_batches_cap > 0 else None
+                self.evaluate(val_loader, it, n_rounds=1, mode="val", n_batches_per_round=cap)
         return self.state
 
     # ------------------------------------------------------------------

@@ -106,6 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--audio_weights_cache", type=str, default=None, help="HF cache root for --audio_weights")
     parser.add_argument("--profile_dir", type=str, default=None, help="write a jax.profiler trace of steps 10-15 here")
     parser.add_argument("--use_fused_lbs", action="store_true", help="vertex loss via the fused Pallas LBS kernel")
+    parser.add_argument("--val_batches_cap", type=int, default=0,
+                        help="cap batches per periodic-validation round (<=0 = reference full-epoch semantics)")
     parser.add_argument("--batch_overfit_size", type=int, default=-1, help="overfit smoke mode: dataset of k items")
     return parser
 
