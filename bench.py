@@ -79,6 +79,21 @@ def main():
     n_windows = int(os.environ.get("MSMD_BENCH_WINDOWS", "1"))
     scan_unroll = int(os.environ.get("MSMD_BENCH_UNROLL", "1"))
 
+    # FLAME vertex decode folded into the headline (VERDICT r2 item 6):
+    # every generated window is decoded to (B*n_motions, 5023, 3)
+    # vertices with the fused Pallas LBS kernel, so the metric is
+    # literally audio -> FLAME vertices. Buffers are synthetic (the
+    # licensed generic_model.pkl is not in the image) but the compute is
+    # the full production decode. MSMD_BENCH_VERTS=0 reverts to
+    # coefficients-only.
+    decode_verts = os.environ.get("MSMD_BENCH_VERTS", "1") == "1" and not tiny
+    fused_flame = None
+    if decode_verts:
+        from msmd_tpu.models.flame import synthetic_flame
+        from msmd_tpu.ops.pallas.lbs_kernel import FusedFlame
+
+        fused_flame = FusedFlame(synthetic_flame(n_verts=5023))
+
     def generate(variables, key, audio, shape, style):
         # raw audio in -> motion out: hubert pass + full CFG DDPM scan.
         # n_windows chained windows amortize dispatch/transfer overhead
@@ -91,11 +106,21 @@ def main():
                 prev_motion_feat=prev_m, prev_audio_feat=prev_a, cfg_scale=1.15,
                 scan_unroll=scan_unroll,
             )
+            check = motion[:, -1, 0]
+            if fused_flame is not None:
+                from msmd_tpu.ops.pallas.lbs_kernel import flame_vertices_fused
+
+                m = motion.reshape(-1, motion.shape[-1]).astype(jnp.float32)
+                exp50 = m[:, :50]
+                pose6 = jnp.concatenate([m[:, -3:], jnp.zeros_like(m[:, :3])], axis=-1)
+                shape100 = jnp.zeros((m.shape[0], 100), jnp.float32)
+                verts = flame_vertices_fused(fused_flame, shape100, exp50, pose6)
+                check = check + verts[:: cfg.n_motions, 0, 0].astype(check.dtype)
             # keep carry dtypes fixed (audio features compute in bf16)
             return (
                 motion[:, -cfg.n_prev_motions :].astype(jnp.float32),
                 afeat[:, -cfg.n_prev_motions :].astype(jnp.float32),
-            ), motion[:, -1, 0]
+            ), check
 
         keys = jax.random.split(key, n_windows)
         prev_m = jnp.zeros((B, cfg.n_prev_motions, cfg.motion_feat_dim))
@@ -124,7 +149,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"audio->FLAME motion real-time factor (1 chip, {n_steps} diff steps, batch {n_reps}, {dtype_name})",
+                "metric": f"audio->FLAME {'vertices' if decode_verts else 'motion'} real-time factor "
+                f"(1 chip, {n_steps} diff steps, batch {n_reps}, {dtype_name}"
+                + (", incl. fused-LBS 5023-vertex decode" if decode_verts else "") + ")",
                 "value": round(rtf, 3),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 50.0, 3),

@@ -42,8 +42,11 @@ def main():
     batch = int(os.environ.get("MSMD_TRAIN_BENCH_BATCH", "16"))
     steps = int(os.environ.get("MSMD_TRAIN_BENCH_STEPS", "5"))
     dtype = os.environ.get("MSMD_TRAIN_BENCH_DTYPE", "bfloat16")
+    fused_ffn_train = os.environ.get("MSMD_TRAIN_FUSED_FFN", "0") == "1"
+    remat = os.environ.get("MSMD_TRAIN_REMAT", "0") == "1"
 
-    cfg = MSMDConfig(batch_size=batch, compute_dtype=dtype)
+    cfg = MSMDConfig(batch_size=batch, compute_dtype=dtype,
+                     fused_ffn_train=fused_ffn_train, remat_denoiser=remat)
     model = get_diffusion_model(cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
     style_enc = get_style_encoder(cfg, "vae2")
     state, tx = create_train_state(cfg, jax.random.PRNGKey(0), model, style_enc)
@@ -77,15 +80,32 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
+    # roofline: XLA's own FLOP count for the compiled step -> MFU against
+    # the v5e bf16 peak (197 TFLOP/s/chip)
+    mfu = flops = None
+    try:
+        compiled = jax.jit(step).lower(state, batch_data, key).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+        if flops:
+            mfu = flops / dt / (197e12 * mesh.devices.size)
+    except Exception:
+        pass
+
     audio_seconds_per_step = 2 * batch * cfg.n_motions / cfg.fps  # two windows per sample
     print(
         json.dumps(
             {
-                "metric": f"MSMD train step (batch {batch}, {dtype}, {mesh.devices.size} chip(s))",
+                "metric": f"MSMD train step (batch {batch}, {dtype}, {mesh.devices.size} chip(s))"
+                + (", fused_ffn_train" if fused_ffn_train else "")
+                + (", remat" if remat else ""),
                 "value": round(1.0 / dt, 3),
                 "unit": "steps/sec",
                 "train_audio_seconds_per_sec": round(audio_seconds_per_step / dt, 1),
                 "step_wall_s": round(dt, 4),
+                "step_tflop_xla": round(flops / 1e12, 2) if flops else None,
+                "mfu_vs_197tflops": round(mfu, 3) if mfu else None,
             }
         )
     )

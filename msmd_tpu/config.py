@@ -86,6 +86,15 @@ class MSMDConfig:
     # the reference semantics — one FULL finite val epoch per round,
     # training_script.py:241 with n_rounds=1)
     val_batches_cap: int = 0
+    # TPU extra (opt-in): training-side fused FFN+dropout+LN Pallas
+    # kernel with a recompute-based custom VJP; dropout masks come from
+    # the in-kernel TPU PRNG (statistically equivalent to flax dropout,
+    # same RNG-bound class as SpecAugment — PARITY.md)
+    fused_ffn_train: bool = False
+    # TPU extra (opt-in): gradient-checkpoint each decoder layer —
+    # recompute activations in the backward pass; for batch > 64 where
+    # activation memory dominates
+    remat_denoiser: bool = False
     log_smooth_win: int = 50
     continue_from: Optional[str] = None
 

@@ -100,6 +100,7 @@ class DenoisingNetwork(nn.Module):
             cfg.n_layers, cfg.feature_dim, cfg.n_heads, cfg.mlp_ratio * cfg.feature_dim,
             0.1, self.dtype, self.param_dtype,
             jnp.dtype(cfg.attn_softmax_dtype) if getattr(cfg, "attn_softmax_dtype", "") else None,
+            remat=getattr(cfg, "remat_denoiser", False),
             name="transformer",
         )
         self.static_feature_mappings = [
@@ -192,6 +193,7 @@ class DenoisingNetwork(nn.Module):
                 feats_in.astype(jnp.float32),
                 fused_decoder["self_mask"], fused_decoder["cross_mask"],
                 n_heads=cfg.n_heads, tile_entries=fused_decoder.get("tile_entries", 0),
+                per_entry_attention=fused_decoder.get("per_entry_attention", False),
                 interpret=fused_decoder["interpret"],
             ).astype(self.dtype)
         else:
@@ -202,6 +204,7 @@ class DenoisingNetwork(nn.Module):
                 feats_in, memory, memory_mask, deterministic, memory_kv=memory_kv,
                 cross_identity_band=identity_band, fused_ffn=fused_ffn and deterministic,
                 fused_tail=fused_tail if (identity_band and memory_kv is not None) else False,
+                fused_ffn_train=getattr(cfg, "fused_ffn_train", False) and not deterministic,
             )
 
         # motion decoder (person token dropped)

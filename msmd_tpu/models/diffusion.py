@@ -106,7 +106,7 @@ class MSMD(nn.Module):
         memory_kv=None,
         fused_decoder=None,
         fused_ffn: bool = False,
-        fused_tail: int = 0,
+        fused_tail: bool = False,
         step_emb_table=None,
     ):
         return self.denoising_net(
@@ -408,6 +408,14 @@ def _prepare_sample_inputs(
         style_in=tile(style_feat),
         n_entries=n_entries,
         coefficients=coefficients,
+        # Untiled single-entry sources of the tile() stacks above. The
+        # fused sampler-step constant build reads THESE (not entry 0 of
+        # the tiled stacks), so a future per-entry change in
+        # _build_cfg_stacks cannot silently diverge from the mega path:
+        # prev/indicator/style are entry-invariant by this construction.
+        prev_motion_src=prev_motion_feat,
+        indicator_src=indicator,
+        style_src=style_feat,
     )
     return key, audio_feat, motion_at_T, stacks, (cfg_mode, cfg_cond, cfg_scale)
 
@@ -502,18 +510,36 @@ def sample(
         )
         from msmd_tpu.ops.seq import alignment_mask
 
-        # row tile = whole batch entries (attention stays tile-local);
-        # largest divisor of Be up to 8 entries balances VMEM vs
-        # per-grid-step overhead
-        tile = Be if Be <= 4 else max(d for d in range(1, 9) if Be % d == 0)
+        # row tile = whole batch entries (attention stays tile-local).
+        # Per-entry-attention mode (identity-band only): self-attention
+        # runs per entry inside the kernel — no flattened score waste —
+        # so larger tiles are free; pick the largest divisor of Be up to
+        # MSMD_DECODER_TILE (default 16) to amortize weight re-streaming
+        # across tiles. Flat (masked) mode keeps the tile small (8): its
+        # score matrix is quadratic in the tile.
+        # (gated to the throughput regime: at Be <= 4 the flattened-score
+        # waste is negligible and the latency-regime mega kernels use the
+        # flat self_mask layout)
+        per_entry = (
+            cfg.align_mask_width == 1 and Be > 4
+            and os.environ.get("MSMD_PER_ENTRY_ATTN", "1") != "0"
+        )
+        if Be <= 4:
+            tile = Be
+        elif per_entry:
+            cap = int(os.environ.get("MSMD_DECODER_TILE", "16"))
+            tile = max(d for d in range(1, cap + 1) if Be % d == 0)
+        else:
+            tile = max(d for d in range(1, 9) if Be % d == 0)
         n_prev = stacks["prev_motion_in"].shape[1]
         lq, lm = 1 + n_prev + n_motions, n_prev + n_motions
         if cfg.align_mask_width == 1:
             # width-1 band: cross-attention is an exact V-gather for all
             # motion rows (one-hot softmax); only person rows attend
-            sm, _ = build_masks(tile, lq, lm, None)
+            sm = None if per_entry else build_masks(tile, lq, lm, None)[0]
             cm = build_identity_band_aux(tile, lq, lm, dtype=model.dtype)
         else:
+            per_entry = False
             align = alignment_mask(n_prev, n_motions, cfg.align_mask_width) if cfg.align_mask_width > 0 else None
             sm, cm = build_masks(tile, lq, lm, align)
         km, vm = pack_memory_kv(memory_kv, dtype=model.dtype)
@@ -522,6 +548,7 @@ def sample(
                 variables["params"]["denoising_net"]["transformer"], cfg.n_layers, dtype=model.dtype
             ),
             kmem=km, vmem=vm, self_mask=sm, cross_mask=cm, tile_entries=tile,
+            per_entry_attention=per_entry,
             interpret=jax.default_backend() == "cpu",
         )
 
@@ -603,9 +630,13 @@ def sample(
         E, P, N, D = n_entries, stacks["prev_motion_in"].shape[1], n_motions, cfg.motion_feat_dim
         lq, lm = 1 + P + N, P + N
         f32 = jnp.float32
-        ind = stacks["indicator_in"]
+        # Read the UNTILED sources (see _prepare_sample_inputs): prev
+        # motion / indicator are entry-invariant by construction there,
+        # so the mega path shares the exact same tensors the tiled XLA
+        # stacks are built from.
+        ind = stacks["indicator_src"]
         ind_row = (ind[0] if ind is not None else jnp.ones((N,), f32)).astype(f32)
-        prev_rows = stacks["prev_motion_in"][0].astype(f32)
+        prev_rows = stacks["prev_motion_src"][0].astype(f32)
         if cfg.use_indicator:
             # prev rows carry indicator channel 0 (denoiser.py concat)
             prev_rows = jnp.concatenate([prev_rows, jnp.zeros((P, 1), f32)], axis=1)
@@ -657,6 +688,38 @@ def sample(
             B_t = -A_t * (1.0 - al) / jnp.sqrt(denom)
         sc_tab = jnp.stack([A_t, B_t, sig] + [jnp.zeros_like(A_t)] * 5, axis=1).astype(f32)
         mega = dict(const=mega_const, sc_tab=sc_tab)
+
+    # --- weight-RESIDENT whole-scan kernel: all T steps as ONE Pallas
+    # program with the decoder weights loaded into VMEM once (they fit:
+    # ~59 MB bf16 at the flagship config vs 128 MB/core on v5e). Removes
+    # the per-step 59 MB weight-streaming DMA floor that bounds batch-1
+    # latency (BENCH.md). Falls back to the per-step mega path for
+    # ret_traj (the trajectory needs per-step outputs).
+    if (
+        mega is not None
+        and not ret_traj
+        and _os.environ.get("MSMD_FUSED_SCAN", "1") != "0"
+    ):
+        from msmd_tpu.ops.pallas.decoder_kernel import fused_sampler_scan
+
+        ts_scan = jnp.arange(sched.num_steps, 0, -1)
+        emb_scan = step_emb_table[ts_scan][:, None, :].astype(jnp.float32)  # (T, 1, F)
+        sc_scan = mega["sc_tab"][ts_scan][:, None, :]  # (T, 1, 8)
+        zmask = (ts_scan > 1).astype(jnp.float32)[:, None, None]
+        z_scan = noise_override[:, 0].astype(jnp.float32) * zmask  # (T, N, D)
+        m0 = fused_sampler_scan(
+            fused["pack"], fused["kmem"], fused["vmem"],
+            motion_at_T[0].astype(jnp.float32), emb_scan, sc_scan, z_scan,
+            mega["const"],
+            n_heads=cfg.n_heads, n_entries=n_entries, n_cur=n_motions,
+            d_motion=cfg.motion_feat_dim, num_basis=cfg.num_of_basis,
+            use_indicator=cfg.use_indicator,
+            sigmoid_alpha=cfg.regularize_alpha == "sigmoid",
+            coefficients=tuple(float(c) for c in stacks["coefficients"]),
+            interpret=fused["interpret"],
+        )
+        motion_0 = m0[None].astype(motion_at_T.dtype)
+        return motion_0, motion_at_T, audio_feat
 
     def denoise_apply(motion_in, step_in):
         return model.apply(

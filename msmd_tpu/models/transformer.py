@@ -140,6 +140,27 @@ class MultiHeadAttention(nn.Module):
         self_attention = (k is None or k is q) and (v is None or v is k or v is q)
         if self_attention and kv_cache is None and not self.is_initializing():
             qp, kp, vp = self._fused_qkv(q)
+            import os as _os
+
+            if (
+                mask is None
+                and deterministic
+                and self.softmax_dtype is None
+                and _os.environ.get("MSMD_ATTN_KERNEL", "0") == "1"
+            ):
+                # hybrid serving mode: XLA keeps the peak-MXU projections,
+                # the attention middle runs as a per-entry Pallas kernel so
+                # the (B, H, Lq, Lq) score tensors never touch HBM
+                # (ops/pallas/attn_kernel.py; measured via attn_probe.py)
+                import jax as _jax
+
+                from msmd_tpu.ops.pallas.attn_kernel import attention_middle
+
+                out = attention_middle(
+                    qp, kp, vp, self.n_heads,
+                    interpret=_jax.default_backend() == "cpu",
+                )
+                return self.out_proj(out)
             qh = qp.reshape(B, Lq, self.n_heads, self.head_dim)
             kh = kp.reshape(B, Lq, self.n_heads, self.head_dim)
             vh = vp.reshape(B, Lq, self.n_heads, self.head_dim)
@@ -239,6 +260,40 @@ class TransformerDecoderLayer(nn.Module):
             interpret=jax.default_backend() == "cpu",
         )
 
+    def _fused_ffn_ln_train(self, x):
+        """TRAINING FFN block — LayerNorm(x + drop(FFN_drop(x))) — as one
+        Pallas program per direction with a recompute-based custom VJP:
+        the (rows, 4F) hidden state and the dropout masks never touch
+        HBM in either pass (ops/pallas/ffn_train_kernel.py). Dropout
+        masks come from the in-kernel TPU PRNG — statistically (not
+        bitwise) equivalent to flax dropout; opt-in via
+        cfg.fused_ffn_train."""
+        import jax
+
+        from msmd_tpu.ops.pallas.ffn_kernel import _pick_tile
+        from msmd_tpu.ops.pallas.ffn_train_kernel import fused_ffn_ln_train
+
+        rows = 1
+        for s in x.shape[:-1]:
+            rows *= s
+        if _pick_tile(rows) > 2048:
+            ff = self.ffn(x, deterministic=False)
+            return self.norm3(x + self.drop(ff, deterministic=False))
+
+        p1 = self.ffn.variables["params"]["linear1"]
+        p2 = self.ffn.variables["params"]["linear2"]
+        ln = self.norm3.variables["params"]
+        seed = jax.random.randint(
+            self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+        )
+        return fused_ffn_ln_train(
+            x.astype(self.dtype),
+            jnp.asarray(p1["kernel"]).astype(self.dtype), jnp.asarray(p1["bias"]).astype(self.dtype),
+            jnp.asarray(p2["kernel"]).astype(self.dtype), jnp.asarray(p2["bias"]).astype(self.dtype),
+            jnp.asarray(ln["scale"]), jnp.asarray(ln["bias"]),
+            seed, float(self.dropout), jax.default_backend() == "cpu",
+        )
+
     def _fused_tail(self, x, kv_cache: KVCache):
         """Self-attention einsums in XLA (they run at peak as batched
         einsums), then EVERYTHING after them for the MOTION rows —
@@ -306,6 +361,7 @@ class TransformerDecoderLayer(nn.Module):
         cross_identity_band: bool = False,
         fused_ffn: bool = False,
         fused_tail: bool = False,
+        fused_ffn_train: bool = False,
     ):
         # Fused Pallas paths are dropout-free: they are only valid in
         # deterministic (eval/sampling) mode. Gating on `deterministic`
@@ -332,6 +388,8 @@ class TransformerDecoderLayer(nn.Module):
 
         if fused_ffn and deterministic and not self.is_initializing():
             return self._fused_ffn_ln(x)
+        if fused_ffn_train and not deterministic and not self.is_initializing():
+            return self._fused_ffn_ln_train(x)
         ff = self.ffn(x, deterministic=deterministic)
         x = self.norm3(x + self.drop(ff, deterministic=deterministic))
         return x
@@ -349,10 +407,19 @@ class TransformerDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     softmax_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     def setup(self):
+        cls = TransformerDecoderLayer
+        if self.remat:
+            # gradient checkpointing: recompute each layer's activations
+            # in the backward pass instead of storing them (cuts training
+            # activation memory ~n_layers-fold for large batches).
+            # static_argnums = deterministic + the python-bool fused
+            # flags (argnum 0 = self in flax lifted transforms).
+            cls = nn.remat(TransformerDecoderLayer, static_argnums=(4, 6, 7, 8, 9))
         self.layers = [
-            TransformerDecoderLayer(
+            cls(
                 self.dim, self.n_heads, self.ffn_dim, self.dropout, self.dtype, self.param_dtype,
                 self.softmax_dtype, name=f"layers_{i}"
             )
@@ -373,12 +440,13 @@ class TransformerDecoder(nn.Module):
         cross_identity_band: bool = False,
         fused_ffn: bool = False,
         fused_tail: bool = False,
+        fused_ffn_train: bool = False,
     ):
         for i, layer in enumerate(self.layers):
             kv = memory_kv[i] if memory_kv is not None else None
-            x = layer(x, memory, memory_mask, deterministic, memory_kv=kv,
-                      cross_identity_band=cross_identity_band, fused_ffn=fused_ffn,
-                      fused_tail=fused_tail)
+            # positional call: nn.remat static_argnums address these slots
+            x = layer(x, memory, memory_mask, deterministic, kv,
+                      cross_identity_band, fused_ffn, fused_tail, fused_ffn_train)
         return x
 
 

@@ -29,7 +29,7 @@ Inference-only (dropout-free), exactly like the sampling path.
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -173,8 +173,21 @@ def _gelu(x):
     return x * 0.5 * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
 
 
-def _decoder_kernel(*refs, n_heads: int, identity_band: bool):
-    if identity_band:
+def _decoder_kernel(*refs, n_heads: int, identity_band: bool, per_entry: int = 0):
+    """``per_entry`` > 0 (= tile entry count T, requires identity_band):
+    self-attention runs as T separate per-entry (lq, lq) attention
+    passes instead of one flattened (T*lq, T*lq) masked pass — batch
+    isolation is structural, no self_mask, and no T-fold wasted score
+    compute/softmax (measured: benchmarks/attn_probe.py — unrolled
+    per-entry 2D dots beat both the flat block-diag kernel AND XLA's
+    batched einsums at the production shapes; Mosaic's rank-3 batched
+    dot does not lower)."""
+    if per_entry:
+        (x_in, wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
+         ln_scale, ln_bias, kmem, vmem, person_mask, sel_pq, sel_ps, sel_vm,
+         x_out) = refs
+        self_mask = None
+    elif identity_band:
         (x_in, wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
          ln_scale, ln_bias, kmem, vmem, self_mask, person_mask, sel_pq, sel_ps, sel_vm,
          x_out) = refs
@@ -208,15 +221,31 @@ def _decoder_kernel(*refs, n_heads: int, identity_band: bool):
 
     # ---- self-attention ------------------------------------------------
     qkv = dot(x, wqkv[0]) + bqkv[0].astype(jnp.float32)  # (R, 3F)
-    heads = []
-    for h in range(n_heads):
-        q = qkv[:, h * dh : (h + 1) * dh] * scale
-        k = qkv[:, F + h * dh : F + (h + 1) * dh]
-        v = qkv[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
-        s = dot_t(q, k.astype(cdt)) + self_mask[:]
-        p = jax.nn.softmax(s, axis=-1)
-        heads.append(dot(p, v.astype(cdt)))
-    sa = jnp.concatenate(heads, axis=-1)
+    if per_entry:
+        lq = x.shape[0] // per_entry
+        entries = []
+        for e in range(per_entry):
+            rows = qkv[e * lq : (e + 1) * lq]
+            heads = []
+            for h in range(n_heads):
+                q = rows[:, h * dh : (h + 1) * dh] * scale
+                k = rows[:, F + h * dh : F + (h + 1) * dh]
+                v = rows[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
+                s = dot_t(q, k.astype(cdt))
+                p = jax.nn.softmax(s, axis=-1)
+                heads.append(dot(p, v.astype(cdt)))
+            entries.append(jnp.concatenate(heads, axis=-1))
+        sa = jnp.concatenate(entries, axis=0)
+    else:
+        heads = []
+        for h in range(n_heads):
+            q = qkv[:, h * dh : (h + 1) * dh] * scale
+            k = qkv[:, F + h * dh : F + (h + 1) * dh]
+            v = qkv[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
+            s = dot_t(q, k.astype(cdt)) + self_mask[:]
+            p = jax.nn.softmax(s, axis=-1)
+            heads.append(dot(p, v.astype(cdt)))
+        sa = jnp.concatenate(heads, axis=-1)
     sa = dot(sa, wso[0]) + bso[0].astype(jnp.float32)
     x = _layernorm(x + sa, ln_scale[0, 0], ln_bias[0, 0])
 
@@ -258,19 +287,23 @@ def _decoder_kernel(*refs, n_heads: int, identity_band: bool):
     x_out[:] = x
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "tile_entries", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_heads", "tile_entries", "per_entry_attention", "interpret"))
 def fused_decoder_forward(
     pack: dict,
     kmem: jnp.ndarray,  # (L, B*Lm, F) batch-major rows
     vmem: jnp.ndarray,  # (L, B*Lm, F)
     x: jnp.ndarray,  # (B, Lq, F) any float dtype
-    self_mask: jnp.ndarray,  # (T*Lq, T*Lq) f32 additive, T = tile_entries
+    self_mask: Optional[jnp.ndarray],  # (T*Lq, T*Lq) f32 additive, T =
+    # tile_entries; None in per_entry_attention mode (batch isolation is
+    # structural there)
     cross_mask: jnp.ndarray,  # (T*Lq, T*Lm) f32 additive — OR, in
     # identity-band mode, the 4-tuple from build_identity_band_aux
     # (person_mask (T, T*Lm), sel_pq (T, T*Lq), sel_ps (T*Lq, T),
     # sel_vm (T*Lq, T*Lm)); mode is selected by the tuple structure
     n_heads: int,
     tile_entries: int = 0,  # batch entries per row tile; 0 = all of B
+    per_entry_attention: bool = False,  # per-entry self-attention (no
+    # flattened score waste); requires identity-band cross mode
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the full decoder stack; returns (B, Lq, F) float32.
@@ -292,7 +325,11 @@ def fused_decoder_forward(
     n_tiles = B // T
     Rt, Mt = T * Lq, T * Lm
     identity_band = isinstance(cross_mask, (tuple, list))
-    assert self_mask.shape == (Rt, Rt), (self_mask.shape, Rt)
+    if per_entry_attention:
+        assert identity_band, "per_entry_attention requires identity-band cross mode"
+        assert self_mask is None, "per_entry_attention mode takes no self_mask"
+    else:
+        assert self_mask.shape == (Rt, Rt), (self_mask.shape, Rt)
     if identity_band:
         person_mask, sel_pq, sel_ps, sel_vm = cross_mask
         assert Lq == Lm + 1, (Lq, Lm)
@@ -318,10 +355,12 @@ def fused_decoder_forward(
         spec(1, pack["wf2"].shape[1], F), spec(1, 1, F),
         spec(1, 3, F), spec(1, 3, F),
         kv_spec(), kv_spec(),
-        const(self_mask),
-    ] + [const(a) for a in cross_inputs]
+    ] + ([] if per_entry_attention else [const(self_mask)]) + [const(a) for a in cross_inputs]
     out = pl.pallas_call(
-        functools.partial(_decoder_kernel, n_heads=n_heads, identity_band=identity_band),
+        functools.partial(
+            _decoder_kernel, n_heads=n_heads, identity_band=identity_band,
+            per_entry=T if per_entry_attention else 0,
+        ),
         grid=(n_tiles, L),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((Rt, F), lambda t, l: (t, 0)),
@@ -335,7 +374,7 @@ def fused_decoder_forward(
         pack["wf1"], pack["bf1"], pack["wf2"], pack["bf2"],
         pack["ln_scale"], pack["ln_bias"],
         kmem.reshape(L * n_tiles, Mt, F), vmem.reshape(L * n_tiles, Mt, F),
-        self_mask, *cross_inputs,
+        *([] if per_entry_attention else [self_mask]), *cross_inputs,
     )
     return out.reshape(B, Lq, F)
 
@@ -482,6 +521,207 @@ def _sampler_step_kernel(
         Bc = sc[0, 1]
         sg = sc[0, 2]
         out_ref[:] = A * motion_t[:] + Bc * target + sg * z[:]
+
+
+# ---------------------------------------------------------------------------
+# weight-RESIDENT whole-scan kernel: the ENTIRE T-step reverse diffusion
+# as ONE Pallas program. All decoder weights (~59 MB bf16 at the flagship
+# config) are placed in VMEM once as whole-array operands (v5e has
+# 128 MB VMEM/core), so the 59 MB/step weight-streaming DMA floor of the
+# per-step kernel — the measured batch-1 latency bound (BENCH.md) — is
+# paid ONCE per window instead of once per step. The grid is the step
+# loop (t = T..1); per-step inputs (noise z, step embedding, DDPM
+# scalars) stream through tiny double-buffered blocks; the motion carry
+# lives in VMEM scratch. Sequential grid semantics on TPU give the
+# exact lax.scan ordering. Same math as _sampler_step_kernel; the only
+# numeric delta vs the per-step scan is that the motion carry stays f32
+# between steps instead of being cast to the model dtype (equal in f32;
+# tolerance-equal in bf16 — see PARITY.md equivalence classes).
+# ---------------------------------------------------------------------------
+
+def _sampler_scan_kernel(
+    # streamed per step (grid dim 0 = scan order t = T..1)
+    emb_row, sc, z,
+    # initial motion x_T
+    motion_T,
+    # prologue constants
+    prev_rows, ind_col, wfp, bfp, persons_pre, pe_flat,
+    # resident weight stacks (leading dim = layer, whole-array in VMEM)
+    wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2, ln_scale, ln_bias,
+    kmem, vmem,
+    # masks / selectors
+    self_mask, person_mask, sel_pq, sel_ps, sel_vm, sel_pp, sel_mm, sel_tail,
+    # epilogue constants
+    wd1, bd1, wd2, bd2, statics_rows, pose_sum_rows,
+    # output / scratch
+    out_ref, m_scr,
+    *, n_layers: int, n_heads: int, n_entries: int, n_cur: int, d_motion: int,
+    num_basis: int, use_indicator: bool, sigmoid_alpha: bool, coefficients,
+):
+    s = pl.program_id(0)
+    F = wso.shape[-1]
+    dh = F // n_heads
+    scale = 1.0 / np.sqrt(dh)
+    cdt = wqkv.dtype
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a.astype(cdt), b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def dot_t(a, b):  # a @ b.T
+        return jax.lax.dot_general(
+            a.astype(cdt), b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(s == 0)
+    def _():
+        m_scr[:] = motion_T[:]
+
+    motion_t = m_scr[:]
+
+    # ---- prologue (every step: the motion rows change) ----------------
+    if use_indicator:
+        cur = jnp.concatenate([motion_t, ind_col[:]], axis=1)
+    else:
+        cur = motion_t
+    rows = jnp.concatenate([prev_rows[:], cur], axis=0)  # (lm, Din)
+    feats_m = dot(rows, wfp[:]) + bfp[:].astype(jnp.float32)  # (lm, F)
+    persons = persons_pre[:] + emb_row[0]  # (E, F) + (1, F)
+    x = (
+        dot(sel_pp[:], persons.astype(cdt))
+        + dot(sel_mm[:], feats_m.astype(cdt))
+        + pe_flat[:]
+    )
+
+    # ---- decoder stack (unrolled; weights resident) -------------------
+    for i in range(n_layers):
+        qkv = dot(x, wqkv[i]) + bqkv[i].astype(jnp.float32)
+        heads = []
+        for h in range(n_heads):
+            q = qkv[:, h * dh : (h + 1) * dh] * scale
+            k = qkv[:, F + h * dh : F + (h + 1) * dh]
+            v = qkv[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
+            sl = dot_t(q, k.astype(cdt)) + self_mask[:]
+            p = jax.nn.softmax(sl, axis=-1)
+            heads.append(dot(p, v.astype(cdt)))
+        sa = jnp.concatenate(heads, axis=-1)
+        sa = dot(sa, wso[i]) + bso[i].astype(jnp.float32)
+        x = _layernorm(x + sa, ln_scale[i, 0], ln_bias[i, 0])
+
+        km, vm = kmem[i], vmem[i]
+        xp = dot(sel_pq[:], x.astype(cdt))
+        qp = dot(xp, wcq[i]) + bcq[i].astype(jnp.float32)
+        heads = []
+        for h in range(n_heads):
+            q = qp[:, h * dh : (h + 1) * dh] * scale
+            sl = dot_t(q, km[:, h * dh : (h + 1) * dh]) + person_mask[:]
+            p = jax.nn.softmax(sl, axis=-1)
+            heads.append(dot(p, vm[:, h * dh : (h + 1) * dh]))
+        person_out = jnp.concatenate(heads, axis=-1)
+        ca = dot(sel_ps[:], person_out.astype(cdt)) + dot(sel_vm[:], vm)
+        ca = dot(ca, wco[i]) + bco[i].astype(jnp.float32)
+        x = _layernorm(x + ca, ln_scale[i, 1], ln_bias[i, 1])
+
+        h1 = _gelu(dot(x, wf1[i]) + bf1[i].astype(jnp.float32))
+        ff = dot(h1, wf2[i]) + bf2[i].astype(jnp.float32)
+        x = _layernorm(x + ff, ln_scale[i, 2], ln_bias[i, 2])
+
+    # ---- epilogue (every step): decode + CFG + DDPM -------------------
+    feats_tail = dot(sel_tail[:], x.astype(cdt))  # (E*n_cur, F)
+    hdec = _gelu(dot(feats_tail, wd1[:]) + bd1[:].astype(jnp.float32))
+    dec = dot(hdec, wd2[:]) + bd2[:].astype(jnp.float32)  # (E*n_cur, D+K)
+    dynamic = dec[:, :d_motion]
+    alphas = dec[:, d_motion : d_motion + num_basis]
+    if sigmoid_alpha:
+        alphas = jax.nn.sigmoid(alphas)
+    face = dynamic[:, : d_motion - 3]
+    for kb in range(num_basis):
+        face = face + alphas[:, kb : kb + 1] * statics_rows[kb, :, : d_motion - 3]
+    pose = dynamic[:, d_motion - 3 :] + pose_sum_rows[:]
+    out = jnp.concatenate([face, pose], axis=1)  # (E*n_cur, D)
+    target = jnp.zeros((n_cur, d_motion), jnp.float32)
+    for e in range(n_entries):
+        target = target + np.float32(coefficients[e]) * out[e * n_cur : (e + 1) * n_cur]
+    A = sc[0, 0, 0]
+    Bc = sc[0, 0, 1]
+    sg = sc[0, 0, 2]
+    m_next = A * motion_t + Bc * target + sg * z[0]
+    m_scr[:] = m_next
+    out_ref[:] = m_next
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_heads", "n_entries", "n_cur", "d_motion", "num_basis",
+    "use_indicator", "sigmoid_alpha", "coefficients", "interpret",
+))
+def fused_sampler_scan(
+    pack: dict,
+    kmem: jnp.ndarray,  # (L, E*Lm, F)
+    vmem: jnp.ndarray,  # (L, E*Lm, F)
+    motion_T: jnp.ndarray,  # (n_cur, D) f32 — x_T, batch 1
+    emb_scan: jnp.ndarray,  # (T, 1, F) f32 — step embeddings in scan order (t=T..1)
+    sc_scan: jnp.ndarray,  # (T, 1, 8) f32 — [A, B, sigma, pad...] in scan order
+    z_scan: jnp.ndarray,  # (T, n_cur, D) f32 — PRE-MASKED noise (0 at t=1)
+    const: dict,  # same dict as fused_sampler_step
+    n_heads: int,
+    n_entries: int,
+    n_cur: int,
+    d_motion: int,
+    num_basis: int,
+    use_indicator: bool,
+    sigmoid_alpha: bool,
+    coefficients: tuple,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The ENTIRE T-step reverse diffusion (batch 1) as one Pallas
+    program with all weights VMEM-resident; returns motion x_0
+    (n_cur, d_motion) f32. See _sampler_scan_kernel for the design.
+    Reference semantics: model.py:377-435 (the full sampler loop)."""
+    T = z_scan.shape[0]
+    L = pack["wqkv"].shape[0]
+
+    res = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # whole array, loaded once
+    step = lambda a: pl.BlockSpec((1,) + a.shape[1:], lambda s, _nd=a.ndim: (s,) + (0,) * (_nd - 1))
+
+    const_order = ("prev_rows", "ind_col", "wfp", "bfp", "persons_pre", "pe_flat")
+    mask_order = (
+        "self_mask", "person_mask", "sel_pq", "sel_ps", "sel_vm",
+        "sel_pp", "sel_mm", "sel_tail",
+    )
+    epi_order = ("wd1", "bd1", "wd2", "bd2", "statics_rows", "pose_sum_rows")
+    layer_arrs = [
+        pack["wqkv"], pack["bqkv"], pack["wso"], pack["bso"],
+        pack["wcq"], pack["bcq"], pack["wco"], pack["bco"],
+        pack["wf1"], pack["bf1"], pack["wf2"], pack["bf2"],
+        pack["ln_scale"], pack["ln_bias"],
+    ]
+
+    inputs = [emb_scan, sc_scan, z_scan]
+    in_specs = [step(emb_scan), step(sc_scan), step(z_scan)]
+    inputs += [motion_T] + [const[k] for k in const_order]
+    in_specs += [res()] * (1 + len(const_order))
+    inputs += layer_arrs + [kmem, vmem]
+    in_specs += [res()] * (len(layer_arrs) + 2)
+    inputs += [const[k] for k in mask_order] + [const[k] for k in epi_order]
+    in_specs += [res()] * (len(mask_order) + len(epi_order))
+
+    kernel = functools.partial(
+        _sampler_scan_kernel,
+        n_layers=L, n_heads=n_heads, n_entries=n_entries, n_cur=n_cur,
+        d_motion=d_motion, num_basis=num_basis, use_indicator=use_indicator,
+        sigmoid_alpha=sigmoid_alpha, coefficients=coefficients,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((n_cur, d_motion), lambda s: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_cur, d_motion), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_cur, d_motion), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -1,0 +1,320 @@
+"""Fused FFN + dropout + residual + LayerNorm with a custom VJP — the
+TRAINING-side counterpart of ``ffn_kernel.fused_ffn_ln``.
+
+Motivation (VERDICT r2 item 3): the round-2 FFN+LN kernel removed the
+largest unfused HBM intermediate of the sampling step — the (rows, 4F)
+FFN hidden state — but had no VJP, so the training step still pays that
+round-trip in BOTH directions (XLA writes the hidden state in the
+forward pass and re-reads it for the backward matmuls). This kernel
+computes
+
+    out = LayerNorm(x + drop2(gelu(x @ w1 + b1) * m1 @ w2 + b2))
+
+as one Pallas program per direction, where m1/drop2 are inverted
+dropout masks generated IN-KERNEL from the TPU PRNG
+(``pltpu.prng_seed`` / ``pltpu.prng_random_bits``). The backward pass
+recomputes the entire chain from x — including bit-identical masks by
+reseeding with the same (seed, tile) pair — so the hidden state and the
+masks never touch HBM, and no multi-MB residuals are saved.
+
+Semantics: with dropout_rate=0 this is exactly the post-LN FFN block of
+``msmd_tpu.models.transformer.TransformerDecoderLayer`` (reference
+torch ``nn.TransformerDecoderLayer`` FFN block, model.py:874-885). With
+dropout_rate>0 the masks are STATISTICALLY equivalent to (not bitwise
+reproductions of) flax dropout — the same RNG-bound equivalence class
+as SpecAugment (PARITY.md); opt-in for training via --fused_ffn_train.
+
+Weight-gradient accumulation runs across row tiles through revisited
+constant-index output blocks (consecutive revisits, the Pallas TPU
+requirement).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from msmd_tpu.ops.pallas.decoder_kernel import _erf, _gelu, _layernorm
+from msmd_tpu.ops.pallas.ffn_kernel import _pick_tile
+
+_INV_SQRT_2PI = float(1.0 / np.sqrt(2.0 * np.pi))
+
+
+def _gelu_grad(u):
+    """d/du [u * Phi(u)] = Phi(u) + u * phi(u), erf-based (torch GELU)."""
+    phi = _INV_SQRT_2PI * jnp.exp(-0.5 * u * u)
+    Phi = 0.5 * (1.0 + _erf(u * np.float32(1.0 / np.sqrt(2.0))))
+    return Phi + u * phi
+
+
+# Test-only hook: the CPU interpreters stub out the TPU PRNG (interpret
+# mode raises; InterpretParams returns all-zero bits), so tests set this
+# to route mask bits through a deterministic iota-hash that a pure-jax
+# replica can reproduce exactly. Never set outside tests; the silicon
+# path always uses the hardware PRNG (statistics checked on-chip by
+# benchmarks/train_probe.py).
+_TEST_DET_MASKS = [False]
+
+
+def _det_bits(shape, salt):
+    i0 = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    i1 = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    r = i0 * np.uint32(2654435761) + i1 * np.uint32(40503) + np.uint32(salt * 97)
+    r = r * np.uint32(2246822519)
+    return r ^ (r >> 13)
+
+
+def _keep_mask(shape, p, salt=0):
+    """Inverted-dropout keep mask/(1-p) from the in-kernel PRNG. Caller
+    must have seeded the PRNG; consumes one prng_random_bits call."""
+    if _TEST_DET_MASKS[0]:
+        bits = _det_bits(shape, salt)
+    else:
+        bits = pltpu.prng_random_bits(shape)
+        if bits.dtype != jnp.uint32:
+            bits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
+    thr = np.uint32(int(p * 2.0**32))  # P(bits < thr) = p
+    keep = (bits >= thr).astype(jnp.float32)
+    return keep / np.float32(1.0 - p)
+
+
+def _ffn_train_fwd_kernel(seed_ref, x_ref, w1, b1, w2, b2, g, b, out_ref, *, p):
+    i = pl.program_id(0)
+    cdt = w1.dtype
+    x = x_ref[:]
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if p > 0.0:
+        pltpu.prng_seed(seed_ref[0], i)
+    u = dot(x, w1[:]) + b1[:].astype(jnp.float32)
+    h = _gelu(u)
+    if p > 0.0:
+        h = h * _keep_mask(h.shape, p, salt=1)
+    y = dot(h, w2[:]) + b2[:].astype(jnp.float32)
+    if p > 0.0:
+        y = y * _keep_mask(y.shape, p, salt=2)
+    out = _layernorm(x.astype(jnp.float32) + y, g[:], b[:])
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _ffn_train_bwd_kernel(
+    seed_ref, x_ref, gbar_ref, w1, b1, w2, b2, g, b,
+    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, db_ref, *, p,
+):
+    i = pl.program_id(0)
+    cdt = w1.dtype
+    x = x_ref[:]
+    gbar = gbar_ref[:].astype(jnp.float32)
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a.astype(cdt), w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def dot_t(a, w):  # a @ w.T
+        return jax.lax.dot_general(
+            a.astype(cdt), w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def dot_tt(a, bb):  # a.T @ bb  (contraction over rows)
+        return jax.lax.dot_general(
+            a.astype(cdt), bb.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # ---- recompute the forward chain (identical masks: same seed+tile,
+    # same prng_random_bits call order as the forward kernel) ----------
+    if p > 0.0:
+        pltpu.prng_seed(seed_ref[0], i)
+    u = dot(x, w1[:]) + b1[:].astype(jnp.float32)
+    gl = _gelu(u)
+    if p > 0.0:
+        m1 = _keep_mask(gl.shape, p, salt=1)
+        h = gl * m1
+    else:
+        h = gl
+    y = dot(h, w2[:]) + b2[:].astype(jnp.float32)
+    if p > 0.0:
+        m2 = _keep_mask(y.shape, p, salt=2)
+        y = y * m2
+    r = x.astype(jnp.float32) + y
+    F = r.shape[-1]
+    mu = jnp.mean(r, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(r - mu), axis=-1, keepdims=True)
+    rs = jax.lax.rsqrt(var + 1e-5)
+    yh = (r - mu) * rs  # normalized activations
+
+    # ---- LayerNorm backward ------------------------------------------
+    dyh = gbar * g[:]
+    m_dyh = jnp.mean(dyh, axis=-1, keepdims=True)
+    m_dyh_yh = jnp.mean(dyh * yh, axis=-1, keepdims=True)
+    dr = rs * (dyh - m_dyh - yh * m_dyh_yh)  # (T, F)
+
+    # ---- FFN backward -------------------------------------------------
+    dy = dr * m2 if p > 0.0 else dr  # through drop2
+    dh = dot_t(dy, w2[:])  # (T, FFN)
+    dgl = dh * m1 if p > 0.0 else dh  # through drop1
+    du = dgl * _gelu_grad(u)  # (T, FFN)
+    dx = dr + dot_t(du, w1[:])  # residual + FFN input grad
+
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    dw1_ref[:] += dot_tt(x, du)  # (F, FFN)
+    db1_ref[:] += jnp.sum(du, axis=0, keepdims=True)
+    dw2_ref[:] += dot_tt(h, dy)  # (FFN, F)
+    db2_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+    dg_ref[:] += jnp.sum(gbar * yh, axis=0, keepdims=True)
+    db_ref[:] += jnp.sum(gbar, axis=0, keepdims=True)
+
+
+def _shapes(x, w1):
+    orig_shape = x.shape
+    F = orig_shape[-1]
+    FFN = w1.shape[-1]
+    rows = 1
+    for s in orig_shape[:-1]:
+        rows *= s
+    return orig_shape, F, FFN, rows
+
+
+def _interp(interpret, p):
+    # the default CPU interpreter has no TPU PRNG primitives; use the
+    # TPU-semantics interpreter when dropout needs prng_seed/random_bits
+    if interpret and p > 0.0:
+        return pltpu.InterpretParams()
+    return interpret
+
+
+def _fwd_call(x, w1, b1, w2, b2, g, b, seed, p, interpret):
+    interpret = _interp(interpret, p)
+    orig_shape, F, FFN, rows = _shapes(x, w1)
+    xf = x.reshape(rows, F)
+    tile = _pick_tile(rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rows // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, F), lambda i, s: (i, 0)),
+            pl.BlockSpec((F, FFN), lambda i, s: (0, 0)),
+            pl.BlockSpec((1, FFN), lambda i, s: (0, 0)),
+            pl.BlockSpec((FFN, F), lambda i, s: (0, 0)),
+            pl.BlockSpec((1, F), lambda i, s: (0, 0)),
+            pl.BlockSpec((1, F), lambda i, s: (0, 0)),
+            pl.BlockSpec((1, F), lambda i, s: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, F), lambda i, s: (i, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_ffn_train_fwd_kernel, p=p),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, F), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        seed.reshape(1).astype(jnp.int32),
+        xf, w1, b1.reshape(1, FFN), w2, b2.reshape(1, F),
+        g.astype(jnp.float32).reshape(1, F), b.astype(jnp.float32).reshape(1, F),
+    )
+    return out.reshape(orig_shape)
+
+
+def _bwd_call(x, gbar, w1, b1, w2, b2, g, b, seed, p, interpret):
+    interpret = _interp(interpret, p)
+    orig_shape, F, FFN, rows = _shapes(x, w1)
+    xf = x.reshape(rows, F)
+    gf = gbar.reshape(rows, F)
+    tile = _pick_tile(rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rows // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, F), lambda i, s: (i, 0)),
+            pl.BlockSpec((tile, F), lambda i, s: (i, 0)),
+            pl.BlockSpec((F, FFN), lambda i, s: (0, 0)),
+            pl.BlockSpec((1, FFN), lambda i, s: (0, 0)),
+            pl.BlockSpec((FFN, F), lambda i, s: (0, 0)),
+            pl.BlockSpec((1, F), lambda i, s: (0, 0)),
+            pl.BlockSpec((1, F), lambda i, s: (0, 0)),
+            pl.BlockSpec((1, F), lambda i, s: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, F), lambda i, s: (i, 0)),
+            pl.BlockSpec((F, FFN), lambda i, s: (0, 0)),
+            pl.BlockSpec((1, FFN), lambda i, s: (0, 0)),
+            pl.BlockSpec((FFN, F), lambda i, s: (0, 0)),
+            pl.BlockSpec((1, F), lambda i, s: (0, 0)),
+            pl.BlockSpec((1, F), lambda i, s: (0, 0)),
+            pl.BlockSpec((1, F), lambda i, s: (0, 0)),
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_ffn_train_bwd_kernel, p=p),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, F), x.dtype),
+            jax.ShapeDtypeStruct((F, FFN), jnp.float32),
+            jax.ShapeDtypeStruct((1, FFN), jnp.float32),
+            jax.ShapeDtypeStruct((FFN, F), jnp.float32),
+            jax.ShapeDtypeStruct((1, F), jnp.float32),
+            jax.ShapeDtypeStruct((1, F), jnp.float32),
+            jax.ShapeDtypeStruct((1, F), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        seed.reshape(1).astype(jnp.int32),
+        xf, gf, w1, b1.reshape(1, FFN), w2, b2.reshape(1, F),
+        g.astype(jnp.float32).reshape(1, F), b.astype(jnp.float32).reshape(1, F),
+    )
+    dx, dw1, db1, dw2, db2, dg, db = outs
+    return (
+        dx.reshape(orig_shape),
+        dw1.astype(w1.dtype), db1.reshape(FFN).astype(b1.dtype),
+        dw2.astype(w2.dtype), db2.reshape(F).astype(b2.dtype),
+        dg.reshape(F).astype(g.dtype), db.reshape(F).astype(b.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_ffn_ln_train(x, w1, b1, w2, b2, g, b, seed, dropout_rate, interpret=False):
+    """LayerNorm(x + drop(FFN_drop(x))) with in-kernel dropout and a
+    recompute-based custom VJP (no hidden-state or mask residuals).
+
+    ``seed``: int32 scalar; vary per step/layer for fresh masks.
+    ``dropout_rate``: static python float (0.0 disables the PRNG)."""
+    return _fwd_call(x, w1, b1, w2, b2, g, b, seed, dropout_rate, interpret)
+
+
+def _fwd_rule(x, w1, b1, w2, b2, g, b, seed, dropout_rate, interpret):
+    out = _fwd_call(x, w1, b1, w2, b2, g, b, seed, dropout_rate, interpret)
+    return out, (x, w1, b1, w2, b2, g, b, seed)
+
+
+def _bwd_rule(dropout_rate, interpret, res, gbar):
+    x, w1, b1, w2, b2, g, b, seed = res
+    dx, dw1, db1, dw2, db2, dg, db = _bwd_call(
+        x, gbar, w1, b1, w2, b2, g, b, seed, dropout_rate, interpret
+    )
+    seed_ct = np.zeros((), jax.dtypes.float0)
+    return dx, dw1, db1, dw2, db2, dg, db, seed_ct
+
+
+fused_ffn_ln_train.defvjp(_fwd_rule, _bwd_rule)

@@ -166,6 +166,31 @@ def test_fused_decoder_identity_band():
                                    err_msg=f"tile={tile}")
 
 
+def test_fused_decoder_per_entry_attention():
+    """per-entry self-attention mode (no flattened score waste, no
+    self_mask) == flax decoder with the width-1 alignment mask, across
+    row tilings."""
+    from msmd_tpu.ops.pallas.decoder_kernel import build_identity_band_aux
+
+    B, Lq, Lm, F, H, L = 4, 14, 13, 32, 4, 3
+    n_prev, n_cur = 4, 9
+    dec, variables, x, mem = _setup(B, Lq, Lm, F, H, L, seed=13)
+    align = alignment_mask(n_prev, n_cur, 1)
+    kv = dec.apply(variables, jnp.asarray(mem), method=TransformerDecoder.cache_memory)
+    want = dec.apply(variables, jnp.asarray(x), None, align, True, memory_kv=kv)
+
+    pack = pack_decoder_weights(variables["params"], L, dtype=jnp.float32)
+    km, vm = pack_memory_kv(kv, dtype=jnp.float32)
+    for tile in (1, 2, 4):
+        aux = build_identity_band_aux(tile, Lq, Lm, dtype=jnp.float32)
+        got = fused_decoder_forward(
+            pack, km, vm, jnp.asarray(x), None, aux, n_heads=H, tile_entries=tile,
+            per_entry_attention=True, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
+                                   err_msg=f"tile={tile}")
+
+
 def test_fused_sampler_step_f32_three_way(monkeypatch):
     """Mega sampler-step kernel (f32 pack) == fused decoder-stack path ==
     XLA path, to tight f32 tolerance, including the DDPM update, CFG mix
@@ -197,6 +222,11 @@ def test_fused_sampler_step_f32_three_way(monkeypatch):
     z = jnp.asarray(rs.randn(cfg.n_diff_steps, 1, cfg.n_motions, cfg.motion_feat_dim).astype(np.float32))
     kw = dict(motion_at_T=mT, noise_override=z)
 
+    # weight-resident whole-scan kernel (default when available)
+    m_scan, _, _ = sample(model, variables, jax.random.PRNGKey(2), audio, shape, style,
+                          fused_decoder=True, **kw)
+    # per-step mega kernel (scan kernel disabled)
+    monkeypatch.setenv("MSMD_FUSED_SCAN", "0")
     m_mega, _, _ = sample(model, variables, jax.random.PRNGKey(2), audio, shape, style,
                           fused_decoder=True, **kw)
     monkeypatch.setenv("MSMD_FUSED_STEP", "0")
@@ -204,9 +234,45 @@ def test_fused_sampler_step_f32_three_way(monkeypatch):
                            fused_decoder=True, **kw)
     m_xla, _, _ = sample(model, variables, jax.random.PRNGKey(2), audio, shape, style,
                          fused_decoder=False, **kw)
+    s = np.asarray(m_scan, np.float32)
     a = np.asarray(m_mega, np.float32)
     b = np.asarray(m_stack, np.float32)
     c = np.asarray(m_xla, np.float32)
     assert np.isfinite(a).all()
+    # scan kernel == per-step mega kernel: identical math + f32 carry in
+    # both (f32 model), so exact agreement up to instruction scheduling
+    np.testing.assert_allclose(s, a, atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-4)
     np.testing.assert_allclose(a, c, atol=5e-4, rtol=1e-4)
+
+
+def test_attention_middle_kernel_matches_einsum():
+    """Hybrid attention-middle kernel == the XLA einsum attention (no
+    mask, per-entry isolation structural)."""
+    from msmd_tpu.ops.pallas.attn_kernel import attention_middle
+
+    B, Lq, F, H = 4, 10, 32, 4
+    dh = F // H
+    rs = np.random.RandomState(17)
+    q = jnp.asarray(rs.randn(B, Lq, F).astype(np.float32))
+    k = jnp.asarray(rs.randn(B, Lq, F).astype(np.float32))
+    v = jnp.asarray(rs.randn(B, Lq, F).astype(np.float32))
+
+    qh = q.reshape(B, Lq, H, dh)
+    kh = k.reshape(B, Lq, H, dh)
+    vh = v.reshape(B, Lq, H, dh)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh / np.sqrt(dh), kh)
+    w = jax.nn.softmax(s, axis=-1)
+    want = jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(B, Lq, F)
+
+    for tile in (1, 2, 4):
+        got = attention_middle(q, k, v, H, tile_entries=tile, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
+                                   err_msg=f"tile={tile}")
+
+    # perturbing one entry must not affect the others (structural isolation)
+    q2 = q.at[2].add(10.0)
+    got2 = attention_middle(q2, k, v, H, tile_entries=2, interpret=True)
+    got1 = attention_middle(q, k, v, H, tile_entries=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2[0]), np.asarray(got1[0]), atol=1e-6)
+    assert np.abs(np.asarray(got2[2]) - np.asarray(got1[2])).max() > 1e-3

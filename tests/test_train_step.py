@@ -267,3 +267,34 @@ def test_warmup_schedule_zero_warm_iter_is_constant():
     f = warmup_schedule(2e-4, 0)
     assert float(f(0)) == pytest.approx(2e-4)
     assert float(f(100)) == pytest.approx(2e-4)
+
+
+def test_remat_denoiser_same_loss_and_grads_flow():
+    """cfg.remat_denoiser (gradient checkpointing of the decoder layers)
+    must be a pure memory/compute trade: identical param tree, identical
+    loss for the same rngs, finite grads."""
+    cfg = tiny_cfg()
+    cfg_r = tiny_cfg(remat_denoiser=True)
+    model = get_diffusion_model(cfg, audio_config=TINY_AUDIO)
+    model_r = get_diffusion_model(cfg_r, audio_config=TINY_AUDIO)
+    style_enc = get_style_encoder(cfg, "vae2")
+    state, tx = create_train_state(cfg, jax.random.PRNGKey(0), model, style_enc)
+    state_r, tx_r = create_train_state(cfg_r, jax.random.PRNGKey(0), model_r, style_enc)
+
+    # identical parameter trees (remat is a lifted transform, not a
+    # structural change)
+    ta = jax.tree_util.tree_structure(state.params)
+    tb = jax.tree_util.tree_structure(state_r.params)
+    assert ta == tb
+    for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(state_r.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg, seed=7).items()}
+    step = make_train_step(cfg, model, style_enc, tx)
+    step_r = make_train_step(cfg_r, model_r, style_enc, tx_r)
+    s1, m1 = step(state, batch, jax.random.PRNGKey(11))
+    s2, m2 = step_r(state_r, batch, jax.random.PRNGKey(11))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
+                                   atol=1e-5, rtol=1e-4)

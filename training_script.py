@@ -108,6 +108,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--use_fused_lbs", action="store_true", help="vertex loss via the fused Pallas LBS kernel")
     parser.add_argument("--val_batches_cap", type=int, default=0,
                         help="cap batches per periodic-validation round (<=0 = reference full-epoch semantics)")
+    parser.add_argument("--fused_ffn_train", action="store_true",
+                        help="training FFN+dropout+LN as a Pallas kernel with custom VJP (in-kernel PRNG dropout)")
+    parser.add_argument("--remat_denoiser", action="store_true",
+                        help="gradient-checkpoint the decoder layers (recompute activations in backward)")
     parser.add_argument("--batch_overfit_size", type=int, default=-1, help="overfit smoke mode: dataset of k items")
     return parser
 
@@ -115,6 +119,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main():
     parser = build_parser()
     args = parser.parse_args()
+
+    from msmd_tpu.platform import apply_platform_env
+
+    apply_platform_env()  # make JAX_PLATFORMS=cpu effective (see module docstring)
 
     from msmd_tpu.config import MSMDConfig
     from msmd_tpu.data.pickle_dataset import get_dataset
