@@ -39,6 +39,10 @@ def main():
     parser.add_argument("--batch_seeds", action="store_true", help="Batch all seeds into one sampler call.")
     args = parser.parse_args()
 
+    from msmd_tpu.platform import apply_platform_env
+
+    apply_platform_env()  # make JAX_PLATFORMS=cpu effective (see module docstring)
+
     import jax
 
     from msmd_tpu.inference_lib import infer_coeffs, load_audio_16k, load_model, load_style_clip

@@ -50,7 +50,17 @@ class Trainer:
         self.state, self.tx = create_train_state(cfg, jax.random.PRNGKey(cfg.seed), self.model, self.style_enc)
         self.start_iter = 0
 
-        self.mesh = make_mesh(("data",)) if use_mesh else None
+        if use_mesh:
+            # data-parallel over the largest device count that divides
+            # the global batch (a 2-sample smoke run on an 8-virtual-CPU
+            # host must not demand batch % 8 == 0)
+            devs = jax.devices()
+            n = len(devs)
+            while n > 1 and cfg.batch_size % n != 0:
+                n -= 1
+            self.mesh = make_mesh(("data",), devices=devs[:n])
+        else:
+            self.mesh = None
         if self.mesh is not None:
             self.state = jax.device_put(self.state, replicate_sharding(self.mesh))
 
