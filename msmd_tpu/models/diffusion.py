@@ -496,12 +496,23 @@ def sample(
     if fused_decoder is None:
         import os
 
-        # auto-on for the small-batch latency regime; MSMD_FUSED_DECODER=1
-        # extends it to large batches via row tiling (throughput mode)
+        # auto-on for the small-batch latency regime AND (round 3) for the
+        # large-batch throughput regime when the per-entry-attention row
+        # tiling is available (identity band + a tile whose row count
+        # satisfies the sublane constraint): measured 76.6x vs 69.7x at
+        # batch 48 (BENCH.md r3). MSMD_FUSED_DECODER=0 forces the XLA
+        # decoder; =1 forces the kernel even where it measured slower.
+        env = os.environ.get("MSMD_FUSED_DECODER", "")
+        _lq = 1 + stacks["prev_motion_in"].shape[1] + n_motions
+        _cap = int(os.environ.get("MSMD_DECODER_TILE", "8"))
+        per_entry_viable = cfg.align_mask_width == 1 and any(
+            Be % d == 0 and (d * _lq) % 8 == 0 for d in range(1, _cap + 1)
+        )
         fused_decoder = (
             model.dtype == jnp.bfloat16
             and guidance_indice is None
-            and (Be <= 4 or os.environ.get("MSMD_FUSED_DECODER") == "1")
+            and env != "0"
+            and (Be <= 4 or per_entry_viable or env == "1")
         )
     fused = None
     if fused_decoder:
@@ -524,11 +535,21 @@ def sample(
             cfg.align_mask_width == 1 and Be > 4
             and os.environ.get("MSMD_PER_ENTRY_ATTN", "1") != "0"
         )
+        lq_rows = 1 + stacks["prev_motion_in"].shape[1] + n_motions
         if Be <= 4:
             tile = Be
         elif per_entry:
-            cap = int(os.environ.get("MSMD_DECODER_TILE", "16"))
-            tile = max(d for d in range(1, cap + 1) if Be % d == 0)
+            # measured optimum: the SMALLEST viable tile wins (8 at the
+            # batch-48 flagship config: 76.6x vs 66.5x at 16, BENCH.md).
+            # Pallas sublane constraint: tile*lq rows must be 8-divisible
+            # (lq is odd at the default geometry, so tiles are 8-multiples).
+            cap = int(os.environ.get("MSMD_DECODER_TILE", "8"))
+            viable = [d for d in range(1, cap + 1) if Be % d == 0 and (d * lq_rows) % 8 == 0]
+            if viable:
+                tile = max(viable)
+            else:
+                per_entry = False
+                tile = max(d for d in range(1, 9) if Be % d == 0)
         else:
             tile = max(d for d in range(1, 9) if Be % d == 0)
         n_prev = stacks["prev_motion_in"].shape[1]

@@ -595,17 +595,25 @@ def _sampler_scan_kernel(
     )
 
     # ---- decoder stack (unrolled; weights resident) -------------------
+    lq_e = x.shape[0] // n_entries
     for i in range(n_layers):
         qkv = dot(x, wqkv[i]) + bqkv[i].astype(jnp.float32)
-        heads = []
-        for h in range(n_heads):
-            q = qkv[:, h * dh : (h + 1) * dh] * scale
-            k = qkv[:, F + h * dh : F + (h + 1) * dh]
-            v = qkv[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
-            sl = dot_t(q, k.astype(cdt)) + self_mask[:]
-            p = jax.nn.softmax(sl, axis=-1)
-            heads.append(dot(p, v.astype(cdt)))
-        sa = jnp.concatenate(heads, axis=-1)
+        # per-entry self-attention: each CFG entry's (lq, lq) attention
+        # as its own 2D dot — no flattened block-diagonal score waste
+        # (same design as the throughput kernel's per_entry mode)
+        ents = []
+        for e in range(n_entries):
+            rows = qkv[e * lq_e : (e + 1) * lq_e]
+            heads = []
+            for h in range(n_heads):
+                q = rows[:, h * dh : (h + 1) * dh] * scale
+                k = rows[:, F + h * dh : F + (h + 1) * dh]
+                v = rows[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
+                sl = dot_t(q, k.astype(cdt))
+                p = jax.nn.softmax(sl, axis=-1)
+                heads.append(dot(p, v.astype(cdt)))
+            ents.append(jnp.concatenate(heads, axis=-1))
+        sa = jnp.concatenate(ents, axis=0)
         sa = dot(sa, wso[i]) + bso[i].astype(jnp.float32)
         x = _layernorm(x + sa, ln_scale[i, 0], ln_bias[i, 0])
 

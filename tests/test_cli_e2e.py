@@ -59,6 +59,7 @@ TINY_FLAGS = [
 ]
 
 
+@pytest.mark.slow
 def test_train_then_infer_cli(e2e_dir):
     exp_root = e2e_dir / "experiments"
     r = run(

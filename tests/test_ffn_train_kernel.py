@@ -120,6 +120,7 @@ def test_dropout_vjp_matches_masked_reference():
         K._TEST_DET_MASKS[0] = False
 
 
+@pytest.mark.slow
 def test_model_train_forward_with_fused_ffn_train():
     """cfg.fused_ffn_train wires through denoiser -> transformer ->
     kernel in the TRAINING (deterministic=False) path: forward and

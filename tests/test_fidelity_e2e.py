@@ -119,6 +119,7 @@ def tiny_cfg(**kw):
     return MSMDConfig(**base)
 
 
+@pytest.mark.slow
 def test_e2e_generation_matches_torch_oracle_f64(x64):
     cfg = tiny_cfg()
     ours, theirs = run_both(cfg)
@@ -136,6 +137,7 @@ def test_e2e_generation_matches_torch_oracle_independent_mode(x64):
     assert float(np.abs(ours - theirs).max()) < 1e-7
 
 
+@pytest.mark.slow
 def test_f32_divergence_is_chaos_not_bug(x64):
     """In f32 the two frameworks diverge — but by the same amount that
     the torch oracle diverges from ITSELF in f64 (per-step float noise

@@ -96,6 +96,7 @@ def test_overfit_loss_decreases():
     assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
 
 
+@pytest.mark.slow
 def test_grad_accum_sums_like_reference():
     """accum=2: two micro-batch grads must be applied as their SUM
     (reference does plain loss.backward() per iter with no scaling,
