@@ -186,16 +186,29 @@ class DenoisingNetwork(nn.Module):
             # single-Pallas-program decoder stack for the sampling hot
             # loop (ops/pallas/decoder_kernel.py): ~100 XLA ops -> 1
             # kernel; masks/packed weights are built once outside the scan
-            from msmd_tpu.ops.pallas.decoder_kernel import fused_decoder_forward
+            from msmd_tpu.ops.pallas.decoder_kernel import (
+                fused_decoder_forward, fused_decoder_forward_resident,
+            )
 
-            feat_out = fused_decoder_forward(
-                fused_decoder["pack"], fused_decoder["kmem"], fused_decoder["vmem"],
-                feats_in.astype(jnp.float32),
-                fused_decoder["self_mask"], fused_decoder["cross_mask"],
-                n_heads=cfg.n_heads, tile_entries=fused_decoder.get("tile_entries", 0),
-                per_entry_attention=fused_decoder.get("per_entry_attention", False),
-                interpret=fused_decoder["interpret"],
-            ).astype(self.dtype)
+            if fused_decoder.get("layer_outer", False):
+                feat_out = fused_decoder_forward_resident(
+                    fused_decoder["pack"], fused_decoder["kmem"], fused_decoder["vmem"],
+                    feats_in.astype(jnp.float32),
+                    fused_decoder["cross_mask"],
+                    n_heads=cfg.n_heads, tile_entries=fused_decoder["tile_entries"],
+                    pad_lq=fused_decoder.get("pad_lq", 0),
+                    interpret=fused_decoder["interpret"],
+                ).astype(self.dtype)
+            else:
+                feat_out = fused_decoder_forward(
+                    fused_decoder["pack"], fused_decoder["kmem"], fused_decoder["vmem"],
+                    feats_in.astype(jnp.float32),
+                    fused_decoder["self_mask"], fused_decoder["cross_mask"],
+                    n_heads=cfg.n_heads, tile_entries=fused_decoder.get("tile_entries", 0),
+                    per_entry_attention=fused_decoder.get("per_entry_attention", False),
+                    pad_lq=fused_decoder.get("pad_lq", 0),
+                    interpret=fused_decoder["interpret"],
+                ).astype(self.dtype)
         else:
             memory = None
             if memory_kv is None:

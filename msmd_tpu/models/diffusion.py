@@ -516,6 +516,8 @@ def sample(
         )
     fused = None
     if fused_decoder:
+        import os
+
         from msmd_tpu.ops.pallas.decoder_kernel import (
             build_identity_band_aux, build_masks, pack_decoder_weights, pack_memory_kv,
         )
@@ -536,15 +538,26 @@ def sample(
             and os.environ.get("MSMD_PER_ENTRY_ATTN", "1") != "0"
         )
         lq_rows = 1 + stacks["prev_motion_in"].shape[1] + n_motions
+        # sublane padding (per-entry mode): pad each entry's rows to the
+        # next 8-multiple (126 -> 128 at the flagship geometry) so every
+        # per-entry slice is 8-aligned inside the kernel and ANY tile
+        # dividing Be is viable (not just 8-multiples). Opt-in pending
+        # on-silicon measurement (MSMD_DECODER_PAD=1).
+        pad_env = os.environ.get("MSMD_DECODER_PAD", "0") == "1"
+        lq_pad = ((lq_rows + 7) // 8) * 8 if (pad_env and lq_rows % 8) else 0
         if Be <= 4:
             tile = Be
         elif per_entry:
             # measured optimum: the SMALLEST viable tile wins (8 at the
             # batch-48 flagship config: 76.6x vs 66.5x at 16, BENCH.md).
             # Pallas sublane constraint: tile*lq rows must be 8-divisible
-            # (lq is odd at the default geometry, so tiles are 8-multiples).
+            # (lq is odd at the default geometry, so tiles are 8-multiples
+            # — unless lq is padded, which frees the tile choice).
             cap = int(os.environ.get("MSMD_DECODER_TILE", "8"))
-            viable = [d for d in range(1, cap + 1) if Be % d == 0 and (d * lq_rows) % 8 == 0]
+            viable = [
+                d for d in range(1, cap + 1)
+                if Be % d == 0 and (lq_pad or (d * lq_rows) % 8 == 0)
+            ]
             if viable:
                 tile = max(viable)
             else:
@@ -554,22 +567,37 @@ def sample(
             tile = max(d for d in range(1, 9) if Be % d == 0)
         n_prev = stacks["prev_motion_in"].shape[1]
         lq, lm = 1 + n_prev + n_motions, n_prev + n_motions
+        if not per_entry:
+            lq_pad = 0
         if cfg.align_mask_width == 1:
             # width-1 band: cross-attention is an exact V-gather for all
             # motion rows (one-hot softmax); only person rows attend
             sm = None if per_entry else build_masks(tile, lq, lm, None)[0]
-            cm = build_identity_band_aux(tile, lq, lm, dtype=model.dtype)
+            cm = build_identity_band_aux(tile, lq_pad or lq, lm, dtype=model.dtype)
         else:
             per_entry = False
             align = alignment_mask(n_prev, n_motions, cfg.align_mask_width) if cfg.align_mask_width > 0 else None
             sm, cm = build_masks(tile, lq, lm, align)
         km, vm = pack_memory_kv(memory_kv, dtype=model.dtype)
+        # layer-outer resident-activation grid (see
+        # fused_decoder_forward_resident): full-batch activations stay in
+        # one VMEM block, weights stream once per LAYER instead of once
+        # per (tile, layer). Opt-in (MSMD_DECODER_RESIDENT=1) pending
+        # on-silicon measurement; per-entry mode only, and the f32
+        # activation block must fit VMEM (~25 MB at the flagship config).
+        layer_outer = (
+            per_entry
+            and Be > 4
+            and os.environ.get("MSMD_DECODER_RESIDENT", "0") == "1"
+            and Be * lq_rows * cfg.feature_dim * 4 <= 40 * 1024 * 1024
+        )
         fused = dict(
             pack=pack_decoder_weights(
                 variables["params"]["denoising_net"]["transformer"], cfg.n_layers, dtype=model.dtype
             ),
             kmem=km, vmem=vm, self_mask=sm, cross_mask=cm, tile_entries=tile,
-            per_entry_attention=per_entry,
+            per_entry_attention=per_entry, layer_outer=layer_outer,
+            pad_lq=lq_pad,
             interpret=jax.default_backend() == "cpu",
         )
 

@@ -173,7 +173,103 @@ def _gelu(x):
     return x * 0.5 * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
 
 
-def _decoder_kernel(*refs, n_heads: int, identity_band: bool, per_entry: int = 0):
+def _layer_compute(
+    x, *, n_heads, per_entry, identity_band,
+    wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
+    ln_scale, ln_bias, km, vm,
+    self_mask=None, cross_mask=None, person_mask=None, sel_pq=None,
+    sel_ps=None, sel_vm=None, key_mask=None,
+):
+    """One decoder layer on already-loaded arrays (shared by the
+    tile-outer kernel, the layer-outer resident kernel and the
+    whole-scan kernel). ``x`` is (R, F) f32; returns the new (R, F) f32
+    activations. ``per_entry`` > 0 = entry count for per-entry
+    self-attention (requires identity_band). ``key_mask`` (1, lq) f32
+    additive, per-entry mode only: masks sublane-padding rows out of the
+    self-attention keys (their query outputs are discarded upstream)."""
+    F = x.shape[-1]
+    dh = F // n_heads
+    scale = 1.0 / np.sqrt(dh)
+    cdt = wqkv.dtype
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a.astype(cdt), b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def dot_t(a, b):  # a @ b.T
+        return jax.lax.dot_general(
+            a.astype(cdt), b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    # ---- self-attention ------------------------------------------------
+    qkv = dot(x, wqkv) + bqkv.astype(jnp.float32)  # (R, 3F)
+    if per_entry:
+        lq = x.shape[0] // per_entry
+        entries = []
+        for e in range(per_entry):
+            rows = qkv[e * lq : (e + 1) * lq]
+            heads = []
+            for h in range(n_heads):
+                q = rows[:, h * dh : (h + 1) * dh] * scale
+                k = rows[:, F + h * dh : F + (h + 1) * dh]
+                v = rows[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
+                s = dot_t(q, k.astype(cdt))
+                if key_mask is not None:
+                    s = s + key_mask
+                p = jax.nn.softmax(s, axis=-1)
+                heads.append(dot(p, v.astype(cdt)))
+            entries.append(jnp.concatenate(heads, axis=-1))
+        sa = jnp.concatenate(entries, axis=0)
+    else:
+        heads = []
+        for h in range(n_heads):
+            q = qkv[:, h * dh : (h + 1) * dh] * scale
+            k = qkv[:, F + h * dh : F + (h + 1) * dh]
+            v = qkv[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
+            s = dot_t(q, k.astype(cdt)) + self_mask
+            p = jax.nn.softmax(s, axis=-1)
+            heads.append(dot(p, v.astype(cdt)))
+        sa = jnp.concatenate(heads, axis=-1)
+    sa = dot(sa, wso) + bso.astype(jnp.float32)
+    x = _layernorm(x + sa, ln_scale[0], ln_bias[0])
+
+    # ---- cross-attention (cached memory K/V) ---------------------------
+    if identity_band:
+        # width-1 alignment band (the MSMD default): every motion row's
+        # masked softmax is exactly a one-hot over memory token i, so its
+        # output is vm[i] — realized as the one-hot selector matmul
+        # sel_vm @ vm. Only the person rows compute real attention.
+        xp = dot(sel_pq, x.astype(cdt))  # (T, F) person activations
+        qp = dot(xp, wcq) + bcq.astype(jnp.float32)
+        heads = []
+        for h in range(n_heads):
+            q = qp[:, h * dh : (h + 1) * dh] * scale
+            s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + person_mask
+            p = jax.nn.softmax(s, axis=-1)
+            heads.append(dot(p, vm[:, h * dh : (h + 1) * dh]))
+        person_out = jnp.concatenate(heads, axis=-1)  # (T, F)
+        ca = dot(sel_ps, person_out.astype(cdt)) + dot(sel_vm, vm)
+    else:
+        qc = dot(x, wcq) + bcq.astype(jnp.float32)  # (R, F)
+        heads = []
+        for h in range(n_heads):
+            q = qc[:, h * dh : (h + 1) * dh] * scale
+            s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + cross_mask
+            p = jax.nn.softmax(s, axis=-1)
+            heads.append(dot(p, vm[:, h * dh : (h + 1) * dh]))
+        ca = jnp.concatenate(heads, axis=-1)
+    ca = dot(ca, wco) + bco.astype(jnp.float32)
+    x = _layernorm(x + ca, ln_scale[1], ln_bias[1])
+
+    # ---- FFN -----------------------------------------------------------
+    h1 = _gelu(dot(x, wf1) + bf1.astype(jnp.float32))
+    ff = dot(h1, wf2) + bf2.astype(jnp.float32)
+    return _layernorm(x + ff, ln_scale[2], ln_bias[2])
+
+
+def _decoder_kernel(*refs, n_heads: int, identity_band: bool, per_entry: int = 0,
+                    padded: bool = False):
     """``per_entry`` > 0 (= tile entry count T, requires identity_band):
     self-attention runs as T separate per-entry (lq, lq) attention
     passes instead of one flattened (T*lq, T*lq) masked pass — batch
@@ -182,7 +278,13 @@ def _decoder_kernel(*refs, n_heads: int, identity_band: bool, per_entry: int = 0
     per-entry 2D dots beat both the flat block-diag kernel AND XLA's
     batched einsums at the production shapes; Mosaic's rank-3 batched
     dot does not lower)."""
-    if per_entry:
+    key_mask = None
+    if per_entry and padded:
+        (x_in, wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
+         ln_scale, ln_bias, kmem, vmem, person_mask, sel_pq, sel_ps, sel_vm,
+         key_mask, x_out) = refs
+        self_mask = None
+    elif per_entry:
         (x_in, wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
          ln_scale, ln_bias, kmem, vmem, person_mask, sel_pq, sel_ps, sel_vm,
          x_out) = refs
@@ -203,91 +305,39 @@ def _decoder_kernel(*refs, n_heads: int, identity_band: bool, per_entry: int = 0
     def _():
         x_out[:] = x_in[:]  # load this tile's input at its first layer
 
-    F = x_in.shape[-1]
-    dh = F // n_heads
-    scale = 1.0 / np.sqrt(dh)
     x = x_out[:]  # (R, F) f32, resident across layers
-    cdt = wqkv.dtype
-
-    def dot(a, b):
-        return jax.lax.dot_general(
-            a.astype(cdt), b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    def dot_t(a, b):  # a @ b.T
-        return jax.lax.dot_general(
-            a.astype(cdt), b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    # ---- self-attention ------------------------------------------------
-    qkv = dot(x, wqkv[0]) + bqkv[0].astype(jnp.float32)  # (R, 3F)
-    if per_entry:
-        lq = x.shape[0] // per_entry
-        entries = []
-        for e in range(per_entry):
-            rows = qkv[e * lq : (e + 1) * lq]
-            heads = []
-            for h in range(n_heads):
-                q = rows[:, h * dh : (h + 1) * dh] * scale
-                k = rows[:, F + h * dh : F + (h + 1) * dh]
-                v = rows[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
-                s = dot_t(q, k.astype(cdt))
-                p = jax.nn.softmax(s, axis=-1)
-                heads.append(dot(p, v.astype(cdt)))
-            entries.append(jnp.concatenate(heads, axis=-1))
-        sa = jnp.concatenate(entries, axis=0)
-    else:
-        heads = []
-        for h in range(n_heads):
-            q = qkv[:, h * dh : (h + 1) * dh] * scale
-            k = qkv[:, F + h * dh : F + (h + 1) * dh]
-            v = qkv[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
-            s = dot_t(q, k.astype(cdt)) + self_mask[:]
-            p = jax.nn.softmax(s, axis=-1)
-            heads.append(dot(p, v.astype(cdt)))
-        sa = jnp.concatenate(heads, axis=-1)
-    sa = dot(sa, wso[0]) + bso[0].astype(jnp.float32)
-    x = _layernorm(x + sa, ln_scale[0, 0], ln_bias[0, 0])
-
-    # ---- cross-attention (cached memory K/V) ---------------------------
-    km, vm = kmem[0], vmem[0]  # (M, F) in pack dtype
-    if identity_band:
-        # width-1 alignment band (the MSMD default): every motion row's
-        # masked softmax is exactly a one-hot over memory token i, so its
-        # output is vm[i] — realized as the one-hot selector matmul
-        # sel_vm @ vm. Only the T person rows (one per tile entry) compute
-        # real attention over their entry's memory block.
-        xp = dot(sel_pq[:], x.astype(cdt))  # (T, F) person activations
-        qp = dot(xp, wcq[0]) + bcq[0].astype(jnp.float32)
-        heads = []
-        for h in range(n_heads):
-            q = qp[:, h * dh : (h + 1) * dh] * scale
-            s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + person_mask[:]
-            p = jax.nn.softmax(s, axis=-1)
-            heads.append(dot(p, vm[:, h * dh : (h + 1) * dh]))
-        person_out = jnp.concatenate(heads, axis=-1)  # (T, F)
-        ca = dot(sel_ps[:], person_out.astype(cdt)) + dot(sel_vm[:], vm)
-    else:
-        qc = dot(x, wcq[0]) + bcq[0].astype(jnp.float32)  # (R, F)
-        heads = []
-        for h in range(n_heads):
-            q = qc[:, h * dh : (h + 1) * dh] * scale
-            s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + cross_mask[:]
-            p = jax.nn.softmax(s, axis=-1)
-            heads.append(dot(p, vm[:, h * dh : (h + 1) * dh]))
-        ca = jnp.concatenate(heads, axis=-1)
-    ca = dot(ca, wco[0]) + bco[0].astype(jnp.float32)
-    x = _layernorm(x + ca, ln_scale[0, 1], ln_bias[0, 1])
-
-    # ---- FFN -----------------------------------------------------------
-    h1 = _gelu(dot(x, wf1[0]) + bf1[0].astype(jnp.float32))
-    ff = dot(h1, wf2[0]) + bf2[0].astype(jnp.float32)
-    x = _layernorm(x + ff, ln_scale[0, 2], ln_bias[0, 2])
-
-    x_out[:] = x
+    x_out[:] = _layer_compute(
+        x, n_heads=n_heads, per_entry=per_entry, identity_band=identity_band,
+        wqkv=wqkv[0], bqkv=bqkv[0], wso=wso[0], bso=bso[0],
+        wcq=wcq[0], bcq=bcq[0], wco=wco[0], bco=bco[0],
+        wf1=wf1[0], bf1=bf1[0], wf2=wf2[0], bf2=bf2[0],
+        ln_scale=ln_scale[0], ln_bias=ln_bias[0], km=kmem[0], vm=vmem[0],
+        self_mask=None if per_entry else self_mask[:],
+        cross_mask=None if identity_band else cross_mask[:],
+        person_mask=person_mask[:] if identity_band else None,
+        sel_pq=sel_pq[:] if identity_band else None,
+        sel_ps=sel_ps[:] if identity_band else None,
+        sel_vm=sel_vm[:] if identity_band else None,
+        key_mask=key_mask[:] if key_mask is not None else None,
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "tile_entries", "per_entry_attention", "interpret"))
+def _pad_rows(x, pad_lq):
+    """Pad each batch entry's row block (B, Lq, F) -> (B, pad_lq, F) with
+    zero rows at the end, and build the additive self-attention key mask
+    hiding the pad rows. Sublane alignment: odd lq (126 at the flagship
+    geometry) makes every per-entry row slice 8-misaligned inside the
+    kernel AND restricts viable tiles to 8-multiples; padding to the
+    next 8-multiple gives aligned slices and frees the tile choice."""
+    B, Lq, F = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, pad_lq - Lq), (0, 0)))
+    key_mask = jnp.asarray(
+        np.where(np.arange(pad_lq) < Lq, 0.0, NEG)[None, :], jnp.float32
+    )
+    return xp, key_mask
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "tile_entries", "per_entry_attention", "pad_lq", "interpret"))
 def fused_decoder_forward(
     pack: dict,
     kmem: jnp.ndarray,  # (L, B*Lm, F) batch-major rows
@@ -304,6 +354,8 @@ def fused_decoder_forward(
     tile_entries: int = 0,  # batch entries per row tile; 0 = all of B
     per_entry_attention: bool = False,  # per-entry self-attention (no
     # flattened score waste); requires identity-band cross mode
+    pad_lq: int = 0,  # per-entry mode: pad each entry to this many rows
+    # (sublane alignment; cross_aux must be built at pad_lq)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the full decoder stack; returns (B, Lq, F) float32.
@@ -316,13 +368,18 @@ def fused_decoder_forward(
     consecutive (a Pallas TPU requirement); the price is that weights
     re-stream once per tile, which is why the multi-tile mode loses to
     the XLA decoder at large batch (see BENCH.md) and is opt-in only."""
-    B, Lq, F = x.shape
+    B, Lq_in, F = x.shape
     L = pack["wqkv"].shape[0]
     Mtot = kmem.shape[1]
     Lm = Mtot // B
     T = tile_entries or B
     assert B % T == 0, (B, T)
     n_tiles = B // T
+    key_mask = None
+    padded = bool(per_entry_attention and pad_lq and pad_lq > Lq_in)
+    if padded:
+        x, key_mask = _pad_rows(x.astype(jnp.float32), pad_lq)
+    Lq = pad_lq if padded else Lq_in
     Rt, Mt = T * Lq, T * Lm
     identity_band = isinstance(cross_mask, (tuple, list))
     if per_entry_attention:
@@ -332,9 +389,11 @@ def fused_decoder_forward(
         assert self_mask.shape == (Rt, Rt), (self_mask.shape, Rt)
     if identity_band:
         person_mask, sel_pq, sel_ps, sel_vm = cross_mask
-        assert Lq == Lm + 1, (Lq, Lm)
+        assert Lq == Lm + 1 if not padded else Lq >= Lm + 1, (Lq, Lm)
         assert person_mask.shape == (T, Mt), (person_mask.shape, T, Mt)
         cross_inputs = [person_mask, sel_pq, sel_ps, sel_vm]
+        if padded:
+            cross_inputs.append(key_mask)
     else:
         assert cross_mask.shape == (Rt, Mt), (cross_mask.shape, Rt, Mt)
         cross_inputs = [cross_mask]
@@ -359,7 +418,7 @@ def fused_decoder_forward(
     out = pl.pallas_call(
         functools.partial(
             _decoder_kernel, n_heads=n_heads, identity_band=identity_band,
-            per_entry=T if per_entry_attention else 0,
+            per_entry=T if per_entry_attention else 0, padded=padded,
         ),
         grid=(n_tiles, L),
         in_specs=in_specs,
@@ -376,7 +435,126 @@ def fused_decoder_forward(
         kmem.reshape(L * n_tiles, Mt, F), vmem.reshape(L * n_tiles, Mt, F),
         *([] if per_entry_attention else [self_mask]), *cross_inputs,
     )
-    return out.reshape(B, Lq, F)
+    out = out.reshape(B, Lq, F)
+    return out[:, :Lq_in] if padded else out
+
+
+# ---------------------------------------------------------------------------
+# layer-OUTER resident-activation variant of the throughput kernel: the
+# FULL batch's activations live in one constant-index VMEM output block
+# (24.8 MB f32 at the batch-48 flagship shapes; v5e has 128 MB/core),
+# and the grid is (layer, tile) with tile INNERMOST — so the per-layer
+# weights are fetched once per LAYER instead of once per (tile, layer):
+# 59 MB/step of weight DMA instead of n_tiles * 59 MB. Consecutive grid
+# steps touch different tiles (independent work), giving Mosaic's
+# pipeliner cross-tile overlap room. Per-entry attention + identity-band
+# cross mode only (the production throughput configuration).
+# ---------------------------------------------------------------------------
+
+def _decoder_kernel_resident(
+    *refs, n_heads: int, tile_entries: int, rows_per_tile: int, padded: bool = False,
+):
+    if padded:
+        (x_in, wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
+         ln_scale, ln_bias, kmem, vmem, person_mask, sel_pq, sel_ps, sel_vm,
+         key_mask, x_out) = refs
+    else:
+        (x_in, wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
+         ln_scale, ln_bias, kmem, vmem, person_mask, sel_pq, sel_ps, sel_vm,
+         x_out) = refs
+        key_mask = None
+    t = pl.program_id(1)
+    sl = pl.ds(t * rows_per_tile, rows_per_tile)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        x_out[sl] = x_in[sl]  # load this tile's input at its first layer
+
+    x_out[sl] = _layer_compute(
+        x_out[sl], n_heads=n_heads, per_entry=tile_entries, identity_band=True,
+        wqkv=wqkv[0], bqkv=bqkv[0], wso=wso[0], bso=bso[0],
+        wcq=wcq[0], bcq=bcq[0], wco=wco[0], bco=bco[0],
+        wf1=wf1[0], bf1=bf1[0], wf2=wf2[0], bf2=bf2[0],
+        ln_scale=ln_scale[0], ln_bias=ln_bias[0], km=kmem[0], vm=vmem[0],
+        person_mask=person_mask[:], sel_pq=sel_pq[:],
+        sel_ps=sel_ps[:], sel_vm=sel_vm[:],
+        key_mask=key_mask[:] if padded else None,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "tile_entries", "pad_lq", "interpret"))
+def fused_decoder_forward_resident(
+    pack: dict,
+    kmem: jnp.ndarray,  # (L, B*Lm, F) batch-major rows
+    vmem: jnp.ndarray,  # (L, B*Lm, F)
+    x: jnp.ndarray,  # (B, Lq, F) any float dtype
+    cross_aux,  # 4-tuple from build_identity_band_aux at tile size
+    n_heads: int,
+    tile_entries: int,
+    pad_lq: int = 0,  # pad each entry to this many rows (see _pad_rows)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Layer-outer resident-activation decoder stack (see
+    _decoder_kernel_resident). Numerically identical to
+    fused_decoder_forward(per_entry_attention=True) — same per-tile
+    layer math, different grid order / weight streaming schedule."""
+    B, Lq_in, F = x.shape
+    L = pack["wqkv"].shape[0]
+    Mtot = kmem.shape[1]
+    Lm = Mtot // B
+    T = tile_entries
+    assert B % T == 0, (B, T)
+    n_tiles = B // T
+    key_mask = None
+    padded = bool(pad_lq and pad_lq > Lq_in)
+    if padded:
+        x, key_mask = _pad_rows(x.astype(jnp.float32), pad_lq)
+    Lq = pad_lq if padded else Lq_in
+    Rt, Mt = T * Lq, T * Lm
+    person_mask, sel_pq, sel_ps, sel_vm = cross_aux
+    assert Lq == Lm + 1 if not padded else Lq >= Lm + 1, (Lq, Lm)
+    assert person_mask.shape == (T, Mt), (person_mask.shape, T, Mt)
+    x_flat = x.reshape(B * Lq, F).astype(jnp.float32)
+
+    lspec = lambda *blk: pl.BlockSpec(blk, lambda l, t: (l,) + (0,) * (len(blk) - 1))
+    kv_spec = lambda: pl.BlockSpec((1, Mt, F), lambda l, t: (l * n_tiles + t, 0, 0))
+    const = lambda a: pl.BlockSpec(a.shape, lambda l, t: (0,) * a.ndim)
+
+    in_specs = [
+        const(x_flat),  # whole input resident (fetched once)
+        lspec(1, F, 3 * F), lspec(1, 1, 3 * F),
+        lspec(1, F, F), lspec(1, 1, F),
+        lspec(1, F, F), lspec(1, 1, F),
+        lspec(1, F, F), lspec(1, 1, F),
+        lspec(1, F, pack["wf1"].shape[-1]), lspec(1, 1, pack["wf1"].shape[-1]),
+        lspec(1, pack["wf2"].shape[1], F), lspec(1, 1, F),
+        lspec(1, 3, F), lspec(1, 3, F),
+        kv_spec(), kv_spec(),
+        const(person_mask), const(sel_pq), const(sel_ps), const(sel_vm),
+    ] + ([const(key_mask)] if padded else [])
+    out = pl.pallas_call(
+        functools.partial(
+            _decoder_kernel_resident, n_heads=n_heads, tile_entries=T,
+            rows_per_tile=Rt, padded=padded,
+        ),
+        grid=(L, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((B * Lq, F), lambda l, t: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * Lq, F), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        x_flat,
+        pack["wqkv"], pack["bqkv"], pack["wso"], pack["bso"],
+        pack["wcq"], pack["bcq"], pack["wco"], pack["bco"],
+        pack["wf1"], pack["bf1"], pack["wf2"], pack["bf2"],
+        pack["ln_scale"], pack["ln_bias"],
+        kmem.reshape(L * n_tiles, Mt, F), vmem.reshape(L * n_tiles, Mt, F),
+        person_mask, sel_pq, sel_ps, sel_vm,
+        *([key_mask] if padded else []),
+    )
+    out = out.reshape(B, Lq, F)
+    return out[:, :Lq_in] if padded else out
 
 
 # ---------------------------------------------------------------------------
@@ -595,45 +773,19 @@ def _sampler_scan_kernel(
     )
 
     # ---- decoder stack (unrolled; weights resident) -------------------
-    lq_e = x.shape[0] // n_entries
+    # per-entry self-attention: each CFG entry's (lq, lq) attention as
+    # its own 2D dot — no flattened block-diagonal score waste (same
+    # design as the throughput kernel's per_entry mode)
     for i in range(n_layers):
-        qkv = dot(x, wqkv[i]) + bqkv[i].astype(jnp.float32)
-        # per-entry self-attention: each CFG entry's (lq, lq) attention
-        # as its own 2D dot — no flattened block-diagonal score waste
-        # (same design as the throughput kernel's per_entry mode)
-        ents = []
-        for e in range(n_entries):
-            rows = qkv[e * lq_e : (e + 1) * lq_e]
-            heads = []
-            for h in range(n_heads):
-                q = rows[:, h * dh : (h + 1) * dh] * scale
-                k = rows[:, F + h * dh : F + (h + 1) * dh]
-                v = rows[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
-                sl = dot_t(q, k.astype(cdt))
-                p = jax.nn.softmax(sl, axis=-1)
-                heads.append(dot(p, v.astype(cdt)))
-            ents.append(jnp.concatenate(heads, axis=-1))
-        sa = jnp.concatenate(ents, axis=0)
-        sa = dot(sa, wso[i]) + bso[i].astype(jnp.float32)
-        x = _layernorm(x + sa, ln_scale[i, 0], ln_bias[i, 0])
-
-        km, vm = kmem[i], vmem[i]
-        xp = dot(sel_pq[:], x.astype(cdt))
-        qp = dot(xp, wcq[i]) + bcq[i].astype(jnp.float32)
-        heads = []
-        for h in range(n_heads):
-            q = qp[:, h * dh : (h + 1) * dh] * scale
-            sl = dot_t(q, km[:, h * dh : (h + 1) * dh]) + person_mask[:]
-            p = jax.nn.softmax(sl, axis=-1)
-            heads.append(dot(p, vm[:, h * dh : (h + 1) * dh]))
-        person_out = jnp.concatenate(heads, axis=-1)
-        ca = dot(sel_ps[:], person_out.astype(cdt)) + dot(sel_vm[:], vm)
-        ca = dot(ca, wco[i]) + bco[i].astype(jnp.float32)
-        x = _layernorm(x + ca, ln_scale[i, 1], ln_bias[i, 1])
-
-        h1 = _gelu(dot(x, wf1[i]) + bf1[i].astype(jnp.float32))
-        ff = dot(h1, wf2[i]) + bf2[i].astype(jnp.float32)
-        x = _layernorm(x + ff, ln_scale[i, 2], ln_bias[i, 2])
+        x = _layer_compute(
+            x, n_heads=n_heads, per_entry=n_entries, identity_band=True,
+            wqkv=wqkv[i], bqkv=bqkv[i], wso=wso[i], bso=bso[i],
+            wcq=wcq[i], bcq=bcq[i], wco=wco[i], bco=bco[i],
+            wf1=wf1[i], bf1=bf1[i], wf2=wf2[i], bf2=bf2[i],
+            ln_scale=ln_scale[i], ln_bias=ln_bias[i], km=kmem[i], vm=vmem[i],
+            person_mask=person_mask[:], sel_pq=sel_pq[:],
+            sel_ps=sel_ps[:], sel_vm=sel_vm[:],
+        )
 
     # ---- epilogue (every step): decode + CFG + DDPM -------------------
     feats_tail = dot(sel_tail[:], x.astype(cdt))  # (E*n_cur, F)

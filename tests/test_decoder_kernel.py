@@ -191,6 +191,67 @@ def test_fused_decoder_per_entry_attention():
                                    err_msg=f"tile={tile}")
 
 
+def test_fused_decoder_layer_outer_resident():
+    """layer-outer resident-activation grid (weights streamed once per
+    layer, full-batch activations in one VMEM block) == flax decoder
+    with the width-1 alignment mask, across row tilings."""
+    from msmd_tpu.ops.pallas.decoder_kernel import (
+        build_identity_band_aux, fused_decoder_forward_resident,
+    )
+
+    B, Lq, Lm, F, H, L = 4, 14, 13, 32, 4, 3
+    n_prev, n_cur = 4, 9
+    dec, variables, x, mem = _setup(B, Lq, Lm, F, H, L, seed=17)
+    align = alignment_mask(n_prev, n_cur, 1)
+    kv = dec.apply(variables, jnp.asarray(mem), method=TransformerDecoder.cache_memory)
+    want = dec.apply(variables, jnp.asarray(x), None, align, True, memory_kv=kv)
+
+    pack = pack_decoder_weights(variables["params"], L, dtype=jnp.float32)
+    km, vm = pack_memory_kv(kv, dtype=jnp.float32)
+    for tile in (1, 2, 4):
+        aux = build_identity_band_aux(tile, Lq, Lm, dtype=jnp.float32)
+        got = fused_decoder_forward_resident(
+            pack, km, vm, jnp.asarray(x), aux, n_heads=H, tile_entries=tile,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
+                                   err_msg=f"tile={tile}")
+
+
+def test_fused_decoder_pad_lq():
+    """sublane-padded per-entry mode (each entry padded to pad_lq rows,
+    pad keys masked out of self-attention) == flax decoder, across tiles
+    that are only viable WITH padding, in both grid orders."""
+    from msmd_tpu.ops.pallas.decoder_kernel import (
+        build_identity_band_aux, fused_decoder_forward_resident,
+    )
+
+    B, Lq, Lm, F, H, L = 4, 14, 13, 32, 4, 3
+    n_prev, n_cur = 4, 9
+    dec, variables, x, mem = _setup(B, Lq, Lm, F, H, L, seed=19)
+    align = alignment_mask(n_prev, n_cur, 1)
+    kv = dec.apply(variables, jnp.asarray(mem), method=TransformerDecoder.cache_memory)
+    want = dec.apply(variables, jnp.asarray(x), None, align, True, memory_kv=kv)
+
+    pack = pack_decoder_weights(variables["params"], L, dtype=jnp.float32)
+    km, vm = pack_memory_kv(kv, dtype=jnp.float32)
+    pad = 16  # next 8-multiple above Lq=14
+    for tile in (1, 2, 4):
+        aux = build_identity_band_aux(tile, pad, Lm, dtype=jnp.float32)
+        got = fused_decoder_forward(
+            pack, km, vm, jnp.asarray(x), None, aux, n_heads=H, tile_entries=tile,
+            per_entry_attention=True, pad_lq=pad, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
+                                   err_msg=f"tile={tile}")
+        got_r = fused_decoder_forward_resident(
+            pack, km, vm, jnp.asarray(x), aux, n_heads=H, tile_entries=tile,
+            pad_lq=pad, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got_r), np.asarray(want), atol=2e-5, rtol=1e-5,
+                                   err_msg=f"resident tile={tile}")
+
+
 def test_fused_sampler_step_f32_three_way(monkeypatch):
     """Mega sampler-step kernel (f32 pack) == fused decoder-stack path ==
     XLA path, to tight f32 tolerance, including the DDPM update, CFG mix
