@@ -23,6 +23,7 @@ optional dynamic thresholding (model.py:396-402).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -494,7 +495,6 @@ def sample(
     # throughput path (large batch) keeps the XLA decoder.
     Be = batch_size * n_entries
     if fused_decoder is None:
-        import os
 
         # auto-on for the small-batch latency regime AND (round 3) for the
         # large-batch throughput regime when the per-entry-attention row
@@ -516,7 +516,6 @@ def sample(
         )
     fused = None
     if fused_decoder:
-        import os
 
         from msmd_tpu.ops.pallas.decoder_kernel import (
             build_identity_band_aux, build_masks, pack_decoder_weights, pack_memory_kv,
@@ -605,12 +604,10 @@ def sample(
     # the FFN hidden state is the largest unfused HBM intermediate of the
     # step (measured, benchmarks/glue_probe.py). The full fused-decoder
     # kernel already covers it in the latency regime.
-    import os as _os
-
     fused_ffn = (
         fused is None
         and model.dtype == jnp.bfloat16
-        and _os.environ.get("MSMD_FUSED_FFN", "1") != "0"
+        and os.environ.get("MSMD_FUSED_FFN", "1") != "0"
     )
     # Fused layer-TAIL kernel (supersedes the FFN kernel when usable):
     # out-proj + residual/LN1 + identity-band cross + residual/LN2 + FFN
@@ -623,7 +620,7 @@ def sample(
     if (
         fused_ffn
         and cfg.align_mask_width == 1
-        and _os.environ.get("MSMD_FUSED_TAIL", "0") == "1"
+        and os.environ.get("MSMD_FUSED_TAIL", "0") == "1"
     ):
         from msmd_tpu.ops.pallas.layer_tail_kernel import tail_rows_tile
 
@@ -671,7 +668,7 @@ def sample(
         and not cfg.no_use_learnable_pe
         and not model.use_head_alpha
         and noise_override is not None  # per-step noise precomputed
-        and _os.environ.get("MSMD_FUSED_STEP", "1") != "0"
+        and os.environ.get("MSMD_FUSED_STEP", "1") != "0"
     ):
         from msmd_tpu.ops.pallas.decoder_kernel import build_sampler_step_aux
 
@@ -747,7 +744,7 @@ def sample(
     if (
         mega is not None
         and not ret_traj
-        and _os.environ.get("MSMD_FUSED_SCAN", "1") != "0"
+        and os.environ.get("MSMD_FUSED_SCAN", "1") != "0"
     ):
         from msmd_tpu.ops.pallas.decoder_kernel import fused_sampler_scan
 

@@ -149,6 +149,29 @@ def build_identity_band_aux(batch: int, lq: int, lm: int, dtype=jnp.bfloat16):
 # the kernel
 # ---------------------------------------------------------------------------
 
+def _softmax_fast(s, axis=-1):
+    """Softmax without the max-subtraction pass (saves one reduce +
+    broadcast-subtract over the score elements per call). Safe iff the
+    logits stay well below f32-exp overflow (~88); attention logits of
+    LN-normalized q/k with 1/sqrt(dh) scaling sit far inside that range,
+    but this is NOT guaranteed for arbitrary trained weights — hence
+    opt-in (MSMD_FAST_SOFTMAX=1). exp(-1e30 mask) == 0 exactly, so
+    masking semantics are unchanged."""
+    e = jnp.exp(s)
+    return e / jnp.sum(e, axis=axis, keepdims=True)
+
+
+def _softmax_dispatch(s, axis=-1):
+    import os
+
+    if os.environ.get("MSMD_FAST_SOFTMAX", "0") == "1":
+        return _softmax_fast(s, axis=axis)
+    return jax.nn.softmax(s, axis=axis)
+
+
+_softmax = _softmax_dispatch  # module-level indirection (probe ablation)
+
+
 def _layernorm(x, scale, bias, eps=1e-5):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
@@ -168,8 +191,24 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _gelu_tanh(x):
+    """tanh-approximation GELU (the torch approximate='tanh' formula).
+    |err| <= 3e-4 abs vs exact — inside bf16 resolution of the values it
+    feeds (the FFN hidden state is cast to bf16 for the next matmul).
+    ~2x fewer VPU ops than the erf path: no divide, no sign/abs, 4-op
+    polynomial + one tanh vs 12-op rational poly + exp + reciprocal."""
+    c = np.float32(np.sqrt(2.0 / np.pi))
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + np.float32(0.044715) * x * x * x)))
+
+
 def _gelu(x):
-    # erf-based GELU, matching torch / flax approximate=False to ~1e-7
+    # erf-based GELU, matching torch / flax approximate=False to ~1e-7.
+    # MSMD_GELU=tanh swaps in the cheaper tanh approximation (trace-time
+    # dispatch; every Pallas kernel in this module routes through here).
+    import os
+
+    if os.environ.get("MSMD_GELU", "erf") == "tanh":
+        return _gelu_tanh(x)
     return x * 0.5 * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
 
 
@@ -217,7 +256,7 @@ def _layer_compute(
                 s = dot_t(q, k.astype(cdt))
                 if key_mask is not None:
                     s = s + key_mask
-                p = jax.nn.softmax(s, axis=-1)
+                p = _softmax(s, axis=-1)
                 heads.append(dot(p, v.astype(cdt)))
             entries.append(jnp.concatenate(heads, axis=-1))
         sa = jnp.concatenate(entries, axis=0)
@@ -228,7 +267,7 @@ def _layer_compute(
             k = qkv[:, F + h * dh : F + (h + 1) * dh]
             v = qkv[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
             s = dot_t(q, k.astype(cdt)) + self_mask
-            p = jax.nn.softmax(s, axis=-1)
+            p = _softmax(s, axis=-1)
             heads.append(dot(p, v.astype(cdt)))
         sa = jnp.concatenate(heads, axis=-1)
     sa = dot(sa, wso) + bso.astype(jnp.float32)
@@ -246,7 +285,7 @@ def _layer_compute(
         for h in range(n_heads):
             q = qp[:, h * dh : (h + 1) * dh] * scale
             s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + person_mask
-            p = jax.nn.softmax(s, axis=-1)
+            p = _softmax(s, axis=-1)
             heads.append(dot(p, vm[:, h * dh : (h + 1) * dh]))
         person_out = jnp.concatenate(heads, axis=-1)  # (T, F)
         ca = dot(sel_ps, person_out.astype(cdt)) + dot(sel_vm, vm)
@@ -256,7 +295,7 @@ def _layer_compute(
         for h in range(n_heads):
             q = qc[:, h * dh : (h + 1) * dh] * scale
             s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + cross_mask
-            p = jax.nn.softmax(s, axis=-1)
+            p = _softmax(s, axis=-1)
             heads.append(dot(p, vm[:, h * dh : (h + 1) * dh]))
         ca = jnp.concatenate(heads, axis=-1)
     ca = dot(ca, wco) + bco.astype(jnp.float32)
@@ -649,7 +688,7 @@ def _sampler_step_kernel(
         k = qkv[:, F + h * dh : F + (h + 1) * dh]
         v = qkv[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
         s = dot_t(q, k.astype(cdt)) + self_mask[:]
-        p = jax.nn.softmax(s, axis=-1)
+        p = _softmax(s, axis=-1)
         heads.append(dot(p, v.astype(cdt)))
     sa = jnp.concatenate(heads, axis=-1)
     sa = dot(sa, wso[0]) + bso[0].astype(jnp.float32)
@@ -662,7 +701,7 @@ def _sampler_step_kernel(
     for h in range(n_heads):
         q = qp[:, h * dh : (h + 1) * dh] * scale
         s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + person_mask[:]
-        p = jax.nn.softmax(s, axis=-1)
+        p = _softmax(s, axis=-1)
         heads.append(dot(p, vm[:, h * dh : (h + 1) * dh]))
     person_out = jnp.concatenate(heads, axis=-1)
     ca = dot(sel_ps[:], person_out.astype(cdt)) + dot(sel_vm[:], vm)

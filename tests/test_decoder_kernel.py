@@ -337,3 +337,40 @@ def test_attention_middle_kernel_matches_einsum():
     got1 = attention_middle(q, k, v, H, tile_entries=2, interpret=True)
     np.testing.assert_allclose(np.asarray(got2[0]), np.asarray(got1[0]), atol=1e-6)
     assert np.abs(np.asarray(got2[2]) - np.asarray(got1[2])).max() > 1e-3
+
+def test_fast_softmax_and_tanh_gelu_knobs(monkeypatch):
+    """MSMD_FAST_SOFTMAX=1 (no max-subtraction) is numerically ~exact for
+    moderate logits; MSMD_GELU=tanh stays within the tanh-approximation
+    error budget end-to-end (|err| <= 3e-4 per activation, amplified
+    through L layers). Both knobs route through every kernel via the
+    module-level _softmax/_gelu dispatchers."""
+    from msmd_tpu.ops.pallas.decoder_kernel import build_identity_band_aux
+
+    B, Lq, Lm, F, H, L = 4, 14, 13, 32, 4, 3
+    n_prev, n_cur = 4, 9
+    dec, variables, x, mem = _setup(B, Lq, Lm, F, H, L, seed=23)
+    align = alignment_mask(n_prev, n_cur, 1)
+    kv = dec.apply(variables, jnp.asarray(mem), method=TransformerDecoder.cache_memory)
+    want = np.asarray(dec.apply(variables, jnp.asarray(x), None, align, True, memory_kv=kv))
+
+    pack = pack_decoder_weights(variables["params"], L, dtype=jnp.float32)
+    km, vm = pack_memory_kv(kv, dtype=jnp.float32)
+    aux = build_identity_band_aux(2, Lq, Lm, dtype=jnp.float32)
+
+    def run():
+        return np.asarray(fused_decoder_forward(
+            pack, km, vm, jnp.asarray(x), None, aux, n_heads=H, tile_entries=2,
+            per_entry_attention=True, interpret=True,
+        ))
+
+    monkeypatch.setenv("MSMD_FAST_SOFTMAX", "1")
+    np.testing.assert_allclose(run(), want, atol=5e-5, rtol=1e-4)
+    monkeypatch.delenv("MSMD_FAST_SOFTMAX")
+
+    monkeypatch.setenv("MSMD_GELU", "tanh")
+    np.testing.assert_allclose(run(), want, atol=5e-3, rtol=5e-3)
+    diff = np.abs(run() - want).max()
+    assert diff > 1e-6  # the knob actually switched implementations
+
+    monkeypatch.setenv("MSMD_FAST_SOFTMAX", "1")  # both together
+    np.testing.assert_allclose(run(), want, atol=5e-3, rtol=5e-3)
