@@ -172,6 +172,36 @@ def _softmax_dispatch(s, axis=-1):
 _softmax = _softmax_dispatch  # module-level indirection (probe ablation)
 
 
+def _attn_pv(s, v, dot, cdt=None):
+    """softmax(s) @ v with the normalization placed where it is cheapest.
+
+    Fast mode restructures exp->normalize->matmul as exp->matmul->scale:
+    the divide moves from the (lq, lkv) score matrix to the (lq, dh)
+    output (dh < lkv in every call site), and the data-dependent
+    max-subtraction REDUCE pass is replaced by a fixed logit shift of
+    -20 (one broadcast-subtract, no reduce): exp(s - 20) overflows f32
+    only for logits > ~108 — unreachable for LN-normalized q/k under any
+    realistic trained weights — and the shift cancels exactly in the
+    normalization. Masked scores (-1e30) still map to exp -> 0.
+    Measured +1.6x RTF at batch 48 on v5e (BENCH.md r3).
+
+    MSMD_FAST_SOFTMAX: "auto" (default) = fast iff the matmul dtype is
+    bf16 (the TPU production path, which is tolerance- not bit-equal to
+    the reference anyway); "1" forces fast, "0" forces the safe
+    max-subtracting softmax (bit-comparable to jax.nn.softmax).
+    """
+    import os
+
+    impl = os.environ.get("MSMD_FAST_SOFTMAX", "auto")
+    fast = impl == "1" or (impl == "auto" and cdt == jnp.bfloat16)
+    if fast and _softmax is _softmax_dispatch:
+        e = jnp.exp(s - jnp.float32(20.0))
+        o = dot(e, v)
+        return o * jax.lax.reciprocal(jnp.sum(e, axis=-1, keepdims=True))
+    p = _softmax(s, axis=-1)
+    return dot(p, v)
+
+
 def _layernorm(x, scale, bias, eps=1e-5):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
@@ -201,13 +231,21 @@ def _gelu_tanh(x):
     return 0.5 * x * (1.0 + jnp.tanh(c * (x + np.float32(0.044715) * x * x * x)))
 
 
-def _gelu(x):
-    # erf-based GELU, matching torch / flax approximate=False to ~1e-7.
-    # MSMD_GELU=tanh swaps in the cheaper tanh approximation (trace-time
-    # dispatch; every Pallas kernel in this module routes through here).
+def _gelu(x, cdt=None):
+    """GELU with a dtype-aware implementation choice (trace-time; every
+    Pallas kernel in this module routes through here).
+
+    MSMD_GELU: "auto" (default) = tanh approximation iff the matmul
+    dtype ``cdt`` is bf16 — the approximation error (3e-4 abs) is below
+    the bf16 rounding the hidden state immediately suffers at the next
+    matmul, and the tanh path measured +5.5x RTF at batch 48 on v5e
+    (BENCH.md r3: the erf rational poly costs a VPU divide + exp per
+    element). "tanh"/"erf" force either implementation; erf matches
+    torch / flax approximate=False to ~1e-7."""
     import os
 
-    if os.environ.get("MSMD_GELU", "erf") == "tanh":
+    impl = os.environ.get("MSMD_GELU", "auto")
+    if impl == "tanh" or (impl == "auto" and cdt == jnp.bfloat16):
         return _gelu_tanh(x)
     return x * 0.5 * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
 
@@ -256,8 +294,7 @@ def _layer_compute(
                 s = dot_t(q, k.astype(cdt))
                 if key_mask is not None:
                     s = s + key_mask
-                p = _softmax(s, axis=-1)
-                heads.append(dot(p, v.astype(cdt)))
+                heads.append(_attn_pv(s, v.astype(cdt), dot, cdt))
             entries.append(jnp.concatenate(heads, axis=-1))
         sa = jnp.concatenate(entries, axis=0)
     else:
@@ -267,8 +304,7 @@ def _layer_compute(
             k = qkv[:, F + h * dh : F + (h + 1) * dh]
             v = qkv[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
             s = dot_t(q, k.astype(cdt)) + self_mask
-            p = _softmax(s, axis=-1)
-            heads.append(dot(p, v.astype(cdt)))
+            heads.append(_attn_pv(s, v.astype(cdt), dot, cdt))
         sa = jnp.concatenate(heads, axis=-1)
     sa = dot(sa, wso) + bso.astype(jnp.float32)
     x = _layernorm(x + sa, ln_scale[0], ln_bias[0])
@@ -285,8 +321,7 @@ def _layer_compute(
         for h in range(n_heads):
             q = qp[:, h * dh : (h + 1) * dh] * scale
             s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + person_mask
-            p = _softmax(s, axis=-1)
-            heads.append(dot(p, vm[:, h * dh : (h + 1) * dh]))
+            heads.append(_attn_pv(s, vm[:, h * dh : (h + 1) * dh], dot, cdt))
         person_out = jnp.concatenate(heads, axis=-1)  # (T, F)
         ca = dot(sel_ps, person_out.astype(cdt)) + dot(sel_vm, vm)
     else:
@@ -295,14 +330,13 @@ def _layer_compute(
         for h in range(n_heads):
             q = qc[:, h * dh : (h + 1) * dh] * scale
             s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + cross_mask
-            p = _softmax(s, axis=-1)
-            heads.append(dot(p, vm[:, h * dh : (h + 1) * dh]))
+            heads.append(_attn_pv(s, vm[:, h * dh : (h + 1) * dh], dot, cdt))
         ca = jnp.concatenate(heads, axis=-1)
     ca = dot(ca, wco) + bco.astype(jnp.float32)
     x = _layernorm(x + ca, ln_scale[1], ln_bias[1])
 
     # ---- FFN -----------------------------------------------------------
-    h1 = _gelu(dot(x, wf1) + bf1.astype(jnp.float32))
+    h1 = _gelu(dot(x, wf1) + bf1.astype(jnp.float32), cdt)
     ff = dot(h1, wf2) + bf2.astype(jnp.float32)
     return _layernorm(x + ff, ln_scale[2], ln_bias[2])
 
@@ -688,8 +722,7 @@ def _sampler_step_kernel(
         k = qkv[:, F + h * dh : F + (h + 1) * dh]
         v = qkv[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
         s = dot_t(q, k.astype(cdt)) + self_mask[:]
-        p = _softmax(s, axis=-1)
-        heads.append(dot(p, v.astype(cdt)))
+        heads.append(_attn_pv(s, v.astype(cdt), dot, cdt))
     sa = jnp.concatenate(heads, axis=-1)
     sa = dot(sa, wso[0]) + bso[0].astype(jnp.float32)
     x = _layernorm(x + sa, ln_scale[0, 0], ln_bias[0, 0])
@@ -701,14 +734,13 @@ def _sampler_step_kernel(
     for h in range(n_heads):
         q = qp[:, h * dh : (h + 1) * dh] * scale
         s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + person_mask[:]
-        p = _softmax(s, axis=-1)
-        heads.append(dot(p, vm[:, h * dh : (h + 1) * dh]))
+        heads.append(_attn_pv(s, vm[:, h * dh : (h + 1) * dh], dot, cdt))
     person_out = jnp.concatenate(heads, axis=-1)
     ca = dot(sel_ps[:], person_out.astype(cdt)) + dot(sel_vm[:], vm)
     ca = dot(ca, wco[0]) + bco[0].astype(jnp.float32)
     x = _layernorm(x + ca, ln_scale[0, 1], ln_bias[0, 1])
 
-    h1 = _gelu(dot(x, wf1[0]) + bf1[0].astype(jnp.float32))
+    h1 = _gelu(dot(x, wf1[0]) + bf1[0].astype(jnp.float32), cdt)
     ff = dot(h1, wf2[0]) + bf2[0].astype(jnp.float32)
     x = _layernorm(x + ff, ln_scale[0, 2], ln_bias[0, 2])
     x_scr[:] = x
@@ -717,7 +749,7 @@ def _sampler_step_kernel(
     @pl.when(l == L - 1)
     def _():
         feats_tail = dot(sel_tail[:], x.astype(cdt))  # (E*n_cur, F)
-        hdec = _gelu(dot(feats_tail, wd1[:]) + bd1[:].astype(jnp.float32))
+        hdec = _gelu(dot(feats_tail, wd1[:]) + bd1[:].astype(jnp.float32), cdt)
         dec = dot(hdec, wd2[:]) + bd2[:].astype(jnp.float32)  # (E*n_cur, D+K)
         dynamic = dec[:, :d_motion]
         alphas = dec[:, d_motion : d_motion + num_basis]
@@ -828,7 +860,7 @@ def _sampler_scan_kernel(
 
     # ---- epilogue (every step): decode + CFG + DDPM -------------------
     feats_tail = dot(sel_tail[:], x.astype(cdt))  # (E*n_cur, F)
-    hdec = _gelu(dot(feats_tail, wd1[:]) + bd1[:].astype(jnp.float32))
+    hdec = _gelu(dot(feats_tail, wd1[:]) + bd1[:].astype(jnp.float32), cdt)
     dec = dot(hdec, wd2[:]) + bd2[:].astype(jnp.float32)  # (E*n_cur, D+K)
     dynamic = dec[:, :d_motion]
     alphas = dec[:, d_motion : d_motion + num_basis]

@@ -37,7 +37,7 @@ def _ffn_kernel(x_ref, wf1, bf1, wf2, bf2, g, b, out_ref):
             a.astype(cdt), w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    h = _gelu(dot(x, wf1[:]) + bf1[:].astype(jnp.float32))  # (T, 4F) f32, VMEM-resident
+    h = _gelu(dot(x, wf1[:]) + bf1[:].astype(jnp.float32), cdt)  # (T, 4F) f32, VMEM-resident
     y = dot(h, wf2[:]) + bf2[:].astype(jnp.float32)
     out = _layernorm(x.astype(jnp.float32) + y, g[:], b[:])
     out_ref[:] = out.astype(out_ref.dtype)
