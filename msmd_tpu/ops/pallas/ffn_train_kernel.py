@@ -46,7 +46,21 @@ _INV_SQRT_2PI = float(1.0 / np.sqrt(2.0 * np.pi))
 
 
 def _gelu_grad(u):
-    """d/du [u * Phi(u)] = Phi(u) + u * phi(u), erf-based (torch GELU)."""
+    """d/du gelu(u), implementation-matched to decoder_kernel._gelu's
+    trace-time dispatch: if MSMD_GELU=tanh forces the tanh-approximation
+    forward, the backward uses the tanh formula's exact derivative (the
+    kernel calls _gelu(u) without a dtype hint, so "auto" resolves to
+    erf here just as it does in the forward — fwd/bwd can never
+    mismatch)."""
+    import os
+
+    if os.environ.get("MSMD_GELU", "auto") == "tanh":
+        c = np.float32(np.sqrt(2.0 / np.pi))
+        a = np.float32(0.044715)
+        inner = c * (u + a * u * u * u)
+        t = jnp.tanh(inner)
+        sech2 = 1.0 - t * t
+        return 0.5 * (1.0 + t) + 0.5 * u * sech2 * c * (1.0 + 3.0 * a * u * u)
     phi = _INV_SQRT_2PI * jnp.exp(-0.5 * u * u)
     Phi = 0.5 * (1.0 + _erf(u * np.float32(1.0 / np.sqrt(2.0))))
     return Phi + u * phi

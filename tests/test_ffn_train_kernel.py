@@ -188,3 +188,37 @@ def test_multi_tile_weight_grad_accumulation():
     for a, want, name in zip(gk, gp, "w1 w2 g".split()):
         np.testing.assert_allclose(np.asarray(a), np.asarray(want), atol=2e-3, rtol=5e-3,
                                    err_msg=f"grad {name}")
+
+def test_tanh_gelu_mode_fwd_and_grad_consistent(monkeypatch):
+    """MSMD_GELU=tanh switches BOTH the kernel forward and its custom-VJP
+    backward to the tanh-approximation formula: fwd matches the tanh-gelu
+    reference, and the kernel's grads match jax autodiff of that same
+    reference (a fwd/bwd mismatch would show up here as an erf-grad)."""
+    monkeypatch.setenv("MSMD_GELU", "tanh")
+    x, w1, b1, w2, b2, g, b = _setup(seed=5)
+    seed = jnp.int32(11)
+
+    def ref_tanh(x, w1, b1, w2, b2, g, b):
+        h = jax.nn.gelu(x @ w1 + b1, approximate=True)
+        y = h @ w2 + b2
+        r = x + y
+        mu = r.mean(-1, keepdims=True)
+        var = ((r - mu) ** 2).mean(-1, keepdims=True)
+        return (r - mu) * jax.lax.rsqrt(var + 1e-5) * g + b
+
+    out = fused_ffn_ln_train(x, w1, b1, w2, b2, g, b, seed, 0.0, True)
+    want = ref_tanh(x, w1, b1, w2, b2, g, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=5e-5, rtol=1e-4)
+
+    def loss_kernel(args):
+        return jnp.sum(fused_ffn_ln_train(*args, seed, 0.0, True) ** 2)
+
+    def loss_ref(args):
+        return jnp.sum(ref_tanh(*args) ** 2)
+
+    args = (x, w1, b1, w2, b2, g, b)
+    gk = jax.grad(loss_kernel)(args)
+    gr = jax.grad(loss_ref)(args)
+    for a, bb, name in zip(gk, gr, "x w1 b1 w2 b2 g b".split()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-4, rtol=1e-3,
+                                   err_msg=name)
