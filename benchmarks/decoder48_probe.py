@@ -73,6 +73,15 @@ def main():
     vm = jnp.asarray(rs.randn(L, Be * lm, F) * 0.1, jnp.bfloat16)
     aux = build_identity_band_aux(tile, pad_lq or lq, lm, dtype=jnp.bfloat16)
     x0 = jnp.asarray(rs.randn(Be, lq, F) * 0.1, jnp.float32)
+    # MSMD_PROBE_VMW: 0 = in-kernel gather (off), 1 = hoisted projected
+    # V-gather streamed in bf16, f32 = same in f32 (2x DMA)
+    vmw_mode = os.environ.get("MSMD_PROBE_VMW", "0")
+    vmw = None
+    if vmw_mode != "0":
+        vmw = dk.build_vmw(
+            aux[3], vm, pack["wco"], Be // tile,
+            out_dtype=jnp.float32 if vmw_mode == "f32" else jnp.bfloat16,
+        )
 
     import functools
 

@@ -198,6 +198,7 @@ class DenoisingNetwork(nn.Module):
                     n_heads=cfg.n_heads, tile_entries=fused_decoder["tile_entries"],
                     pad_lq=fused_decoder.get("pad_lq", 0),
                     interpret=fused_decoder["interpret"],
+                    vmw=fused_decoder.get("vmw"),
                 ).astype(self.dtype)
             else:
                 feat_out = fused_decoder_forward(
@@ -208,6 +209,7 @@ class DenoisingNetwork(nn.Module):
                     per_entry_attention=fused_decoder.get("per_entry_attention", False),
                     pad_lq=fused_decoder.get("pad_lq", 0),
                     interpret=fused_decoder["interpret"],
+                    vmw=fused_decoder.get("vmw"),
                 ).astype(self.dtype)
         else:
             memory = None

@@ -599,6 +599,26 @@ def sample(
             pad_lq=lq_pad,
             interpret=jax.default_backend() == "cpu",
         )
+        # Hoist the PROJECTED identity-band V-gather out of the DDPM hot
+        # loop: (sel_vm @ vm) @ wco is step-invariant (the memory V cache
+        # is built once per window), so precomputing it removes a dense
+        # (Rt, Mt) one-hot-gather matmul AND shrinks the (Rt, F) wco
+        # projection to the person rows — per layer per tile per step
+        # (~150 GFLOP/step at the batch-48 flagship shapes). Row-exact
+        # rewrite (disjoint supports, see _layer_compute); stored in the
+        # kernel matmul dtype (streamed per (tile, layer) like K/V;
+        # MSMD_VMW_F32=1 stores f32 at 2x the DMA).
+        if cfg.align_mask_width == 1 and os.environ.get("MSMD_VMW_HOIST", "1") != "0":
+            from msmd_tpu.ops.pallas.decoder_kernel import build_vmw
+
+            vmw_dt = (
+                jnp.float32
+                if os.environ.get("MSMD_VMW_F32", "0") == "1"
+                else model.dtype
+            )
+            fused["vmw"] = build_vmw(
+                cm[3], vm, fused["pack"]["wco"], Be // tile, out_dtype=vmw_dt
+            )
 
     # Fused FFN+LN Pallas kernel for the XLA (large-batch) decoder path:
     # the FFN hidden state is the largest unfused HBM intermediate of the
@@ -746,17 +766,60 @@ def sample(
         and not ret_traj
         and os.environ.get("MSMD_FUSED_SCAN", "1") != "0"
     ):
-        from msmd_tpu.ops.pallas.decoder_kernel import fused_sampler_scan
+        from msmd_tpu.ops.pallas.decoder_kernel import (
+            build_identity_band_aux as _band_aux,
+            build_sampler_step_aux as _step_aux,
+            build_vmw as _build_vmw,
+            fused_sampler_scan,
+        )
 
         ts_scan = jnp.arange(sched.num_steps, 0, -1)
         emb_scan = step_emb_table[ts_scan][:, None, :].astype(jnp.float32)  # (T, 1, F)
         sc_scan = mega["sc_tab"][ts_scan][:, None, :]  # (T, 1, 8)
         zmask = (ts_scan > 1).astype(jnp.float32)[:, None, None]
         z_scan = noise_override[:, 0].astype(jnp.float32) * zmask  # (T, N, D)
+        # The scan kernel runs per-entry self-attention; self_mask (flat
+        # layout, per-step mega kernel only) is dropped from its consts.
+        scan_const = {k: v for k, v in mega["const"].items() if k != "self_mask"}
+        # Sublane padding: pad each entry's token rows to the next
+        # 8-multiple (126 -> 128 at the flagship geometry) so every
+        # per-entry row slice is 8-aligned and the (lq, lq) attention
+        # dots are exactly MXU-tile-shaped. Pad rows carry zero input
+        # (all selectors/PE are zero there), are hidden from attention
+        # keys by key_mask, and are never gathered by sel_tail.
+        E, P, N = n_entries, stacks["prev_motion_in"].shape[1], n_motions
+        lq, lm = 1 + P + N, P + N
+        if lq % 8 and os.environ.get("MSMD_SCAN_PAD", "1") != "0":
+            lqp = ((lq + 7) // 8) * 8
+            pm_p, spq_p, sps_p, svm_p = _band_aux(E, lqp, lm, dtype=model.dtype)
+            spp_p, smm_p, stl_p = _step_aux(E, lqp, lm, P, N, dtype=model.dtype)
+            dn = variables["params"]["denoising_net"]
+            pe0 = jnp.asarray(dn["PE"], jnp.float32)[0]  # (lq, F)
+            pe_pad = jnp.pad(pe0, ((0, lqp - lq), (0, 0)))
+            scan_const.update(
+                pe_flat=jnp.tile(pe_pad, (E, 1)),
+                person_mask=pm_p, sel_pq=spq_p, sel_ps=sps_p, sel_vm=svm_p,
+                sel_pp=spp_p, sel_mm=smm_p, sel_tail=stl_p,
+                key_mask=jnp.where(
+                    jnp.arange(lqp) < lq, jnp.float32(0.0), jnp.float32(-1e30)
+                )[None, :],
+            )
+        # Hoist the PROJECTED identity-band V-gather out of the kernel:
+        # sel_vm is one-hot and the memory V is step-invariant, so
+        # (sel_vm @ vm) @ wco is an exact per-layer constant (L, R, F);
+        # its rows are disjoint from the person-row contribution, so
+        # distributing wco is row-exact (see _layer_compute). Removes
+        # the (R, Mt) gather matmul AND shrinks the wco projection to
+        # the person rows — per layer per step. Stored f32 (resident,
+        # ~4 MB): no new rounding vs the in-kernel f32-accumulated dots.
+        if os.environ.get("MSMD_VMW_HOIST", "1") != "0":
+            scan_const["vmw"] = _build_vmw(
+                scan_const["sel_vm"], fused["vmem"], fused["pack"]["wco"], 1
+            )
         m0 = fused_sampler_scan(
             fused["pack"], fused["kmem"], fused["vmem"],
             motion_at_T[0].astype(jnp.float32), emb_scan, sc_scan, z_scan,
-            mega["const"],
+            scan_const,
             n_heads=cfg.n_heads, n_entries=n_entries, n_cur=n_motions,
             d_motion=cfg.motion_feat_dim, num_basis=cfg.num_of_basis,
             use_indicator=cfg.use_indicator,

@@ -255,7 +255,7 @@ def _layer_compute(
     wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
     ln_scale, ln_bias, km, vm,
     self_mask=None, cross_mask=None, person_mask=None, sel_pq=None,
-    sel_ps=None, sel_vm=None, key_mask=None,
+    sel_ps=None, sel_vm=None, key_mask=None, vmw=None,
 ):
     """One decoder layer on already-loaded arrays (shared by the
     tile-outer kernel, the layer-outer resident kernel and the
@@ -263,7 +263,16 @@ def _layer_compute(
     activations. ``per_entry`` > 0 = entry count for per-entry
     self-attention (requires identity_band). ``key_mask`` (1, lq) f32
     additive, per-entry mode only: masks sublane-padding rows out of the
-    self-attention keys (their query outputs are discarded upstream)."""
+    self-attention keys (their query outputs are discarded upstream).
+
+    ``vmw`` (R, F): the PRECOMPUTED, PROJECTED identity-band V-gather
+    ``(sel_vm @ vm) @ wco``. Both factors are step-invariant (memory V
+    is cached once per window), so the whole hot loop hoists them. The
+    rewrite is row-exact: sel_ps scatters to person rows only and
+    sel_vm to motion rows only (disjoint supports), so distributing wco
+    over the two terms changes no row's arithmetic — and it removes the
+    (R, Mt) gather matmul AND shrinks the (R, F) wco projection to the
+    T person rows, per layer per step."""
     F = x.shape[-1]
     dh = F // n_heads
     scale = 1.0 / np.sqrt(dh)
@@ -323,7 +332,16 @@ def _layer_compute(
             s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + person_mask
             heads.append(_attn_pv(s, vm[:, h * dh : (h + 1) * dh], dot, cdt))
         person_out = jnp.concatenate(heads, axis=-1)  # (T, F)
-        ca = dot(sel_ps, person_out.astype(cdt)) + dot(sel_vm, vm)
+        if vmw is not None:
+            # hoisted projected gather: project the T person rows FIRST
+            # (tiny matmul), scatter, and add the precomputed motion-row
+            # block — row-exact vs the else-branch (disjoint supports)
+            po = dot(person_out, wco)  # (T, F)
+            ca = dot(sel_ps, po.astype(cdt)) + vmw.astype(jnp.float32)
+            ca = ca + bco.astype(jnp.float32)
+        else:
+            ca = dot(sel_ps, person_out.astype(cdt)) + dot(sel_vm, vm)
+            ca = dot(ca, wco) + bco.astype(jnp.float32)
     else:
         qc = dot(x, wcq) + bcq.astype(jnp.float32)  # (R, F)
         heads = []
@@ -332,7 +350,7 @@ def _layer_compute(
             s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + cross_mask
             heads.append(_attn_pv(s, vm[:, h * dh : (h + 1) * dh], dot, cdt))
         ca = jnp.concatenate(heads, axis=-1)
-    ca = dot(ca, wco) + bco.astype(jnp.float32)
+        ca = dot(ca, wco) + bco.astype(jnp.float32)
     x = _layernorm(x + ca, ln_scale[1], ln_bias[1])
 
     # ---- FFN -----------------------------------------------------------
@@ -342,7 +360,7 @@ def _layer_compute(
 
 
 def _decoder_kernel(*refs, n_heads: int, identity_band: bool, per_entry: int = 0,
-                    padded: bool = False):
+                    padded: bool = False, has_vmw: bool = False):
     """``per_entry`` > 0 (= tile entry count T, requires identity_band):
     self-attention runs as T separate per-entry (lq, lq) attention
     passes instead of one flattened (T*lq, T*lq) masked pass — batch
@@ -350,25 +368,29 @@ def _decoder_kernel(*refs, n_heads: int, identity_band: bool, per_entry: int = 0
     compute/softmax (measured: benchmarks/attn_probe.py — unrolled
     per-entry 2D dots beat both the flat block-diag kernel AND XLA's
     batched einsums at the production shapes; Mosaic's rank-3 batched
-    dot does not lower)."""
-    key_mask = None
+    dot does not lower). ``has_vmw``: a streamed (1, R, F) block with
+    the hoisted projected V-gather follows the cross inputs."""
+    key_mask = vmw_ref = None
+    refs = list(refs)
+    x_out = refs.pop()
+    if has_vmw:
+        vmw_ref = refs.pop()
     if per_entry and padded:
         (x_in, wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
          ln_scale, ln_bias, kmem, vmem, person_mask, sel_pq, sel_ps, sel_vm,
-         key_mask, x_out) = refs
+         key_mask) = refs
         self_mask = None
     elif per_entry:
         (x_in, wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
-         ln_scale, ln_bias, kmem, vmem, person_mask, sel_pq, sel_ps, sel_vm,
-         x_out) = refs
+         ln_scale, ln_bias, kmem, vmem, person_mask, sel_pq, sel_ps, sel_vm) = refs
         self_mask = None
     elif identity_band:
         (x_in, wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
-         ln_scale, ln_bias, kmem, vmem, self_mask, person_mask, sel_pq, sel_ps, sel_vm,
-         x_out) = refs
+         ln_scale, ln_bias, kmem, vmem, self_mask, person_mask, sel_pq, sel_ps,
+         sel_vm) = refs
     else:
         (x_in, wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
-         ln_scale, ln_bias, kmem, vmem, self_mask, cross_mask, x_out) = refs
+         ln_scale, ln_bias, kmem, vmem, self_mask, cross_mask) = refs
     # grid = (n_tiles, layers): tile OUTER so the output block (indexed by
     # tile) is revisited on consecutive grid steps only — Pallas TPU
     # forbids non-consecutive output revisits (stale-VMEM hazard)
@@ -392,6 +414,7 @@ def _decoder_kernel(*refs, n_heads: int, identity_band: bool, per_entry: int = 0
         sel_ps=sel_ps[:] if identity_band else None,
         sel_vm=sel_vm[:] if identity_band else None,
         key_mask=key_mask[:] if key_mask is not None else None,
+        vmw=vmw_ref[0] if has_vmw else None,
     )
 
 
@@ -430,6 +453,9 @@ def fused_decoder_forward(
     pad_lq: int = 0,  # per-entry mode: pad each entry to this many rows
     # (sublane alignment; cross_aux must be built at pad_lq)
     interpret: bool = False,
+    vmw: Optional[jnp.ndarray] = None,  # (L, B*Lq_kernel, F) f32: the
+    # hoisted projected identity-band V-gather (sel_vm @ vm) @ wco,
+    # streamed per (tile, layer); identity-band mode only
 ) -> jnp.ndarray:
     """Run the full decoder stack; returns (B, Lq, F) float32.
 
@@ -477,6 +503,14 @@ def fused_decoder_forward(
     kv_spec = lambda: pl.BlockSpec((1, Mt, F), lambda t, l: (l * n_tiles + t, 0, 0))
     const = lambda a: pl.BlockSpec(a.shape, lambda t, l: (0,) * a.ndim)
 
+    has_vmw = vmw is not None and identity_band
+    vmw_inputs, vmw_specs = [], []
+    if has_vmw:
+        assert vmw.shape == (L, B * Lq, F), (vmw.shape, L, B * Lq, F)
+        # streamed like the memory K/V: block (1, Rt, F) at (l*n_tiles + t)
+        vmw_inputs = [vmw.reshape(L * n_tiles, Rt, F)]
+        vmw_specs = [pl.BlockSpec((1, Rt, F), lambda t, l: (l * n_tiles + t, 0, 0))]
+
     in_specs = [
         pl.BlockSpec((Rt, F), lambda t, l: (t, 0)),
         spec(1, F, 3 * F), spec(1, 1, 3 * F),
@@ -487,11 +521,12 @@ def fused_decoder_forward(
         spec(1, pack["wf2"].shape[1], F), spec(1, 1, F),
         spec(1, 3, F), spec(1, 3, F),
         kv_spec(), kv_spec(),
-    ] + ([] if per_entry_attention else [const(self_mask)]) + [const(a) for a in cross_inputs]
+    ] + ([] if per_entry_attention else [const(self_mask)]) + [const(a) for a in cross_inputs] + vmw_specs
     out = pl.pallas_call(
         functools.partial(
             _decoder_kernel, n_heads=n_heads, identity_band=identity_band,
             per_entry=T if per_entry_attention else 0, padded=padded,
+            has_vmw=has_vmw,
         ),
         grid=(n_tiles, L),
         in_specs=in_specs,
@@ -506,7 +541,7 @@ def fused_decoder_forward(
         pack["wf1"], pack["bf1"], pack["wf2"], pack["bf2"],
         pack["ln_scale"], pack["ln_bias"],
         kmem.reshape(L * n_tiles, Mt, F), vmem.reshape(L * n_tiles, Mt, F),
-        *([] if per_entry_attention else [self_mask]), *cross_inputs,
+        *([] if per_entry_attention else [self_mask]), *cross_inputs, *vmw_inputs,
     )
     out = out.reshape(B, Lq, F)
     return out[:, :Lq_in] if padded else out
@@ -526,16 +561,20 @@ def fused_decoder_forward(
 
 def _decoder_kernel_resident(
     *refs, n_heads: int, tile_entries: int, rows_per_tile: int, padded: bool = False,
+    has_vmw: bool = False,
 ):
+    key_mask = vmw_ref = None
+    refs = list(refs)
+    x_out = refs.pop()
+    if has_vmw:
+        vmw_ref = refs.pop()
     if padded:
         (x_in, wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
          ln_scale, ln_bias, kmem, vmem, person_mask, sel_pq, sel_ps, sel_vm,
-         key_mask, x_out) = refs
+         key_mask) = refs
     else:
         (x_in, wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
-         ln_scale, ln_bias, kmem, vmem, person_mask, sel_pq, sel_ps, sel_vm,
-         x_out) = refs
-        key_mask = None
+         ln_scale, ln_bias, kmem, vmem, person_mask, sel_pq, sel_ps, sel_vm) = refs
     t = pl.program_id(1)
     sl = pl.ds(t * rows_per_tile, rows_per_tile)
 
@@ -552,6 +591,7 @@ def _decoder_kernel_resident(
         person_mask=person_mask[:], sel_pq=sel_pq[:],
         sel_ps=sel_ps[:], sel_vm=sel_vm[:],
         key_mask=key_mask[:] if padded else None,
+        vmw=vmw_ref[0] if has_vmw else None,
     )
 
 
@@ -566,6 +606,8 @@ def fused_decoder_forward_resident(
     tile_entries: int,
     pad_lq: int = 0,  # pad each entry to this many rows (see _pad_rows)
     interpret: bool = False,
+    vmw: Optional[jnp.ndarray] = None,  # (L, B*Lq_kernel, F): hoisted
+    # projected identity-band V-gather (see fused_decoder_forward)
 ) -> jnp.ndarray:
     """Layer-outer resident-activation decoder stack (see
     _decoder_kernel_resident). Numerically identical to
@@ -593,6 +635,13 @@ def fused_decoder_forward_resident(
     kv_spec = lambda: pl.BlockSpec((1, Mt, F), lambda l, t: (l * n_tiles + t, 0, 0))
     const = lambda a: pl.BlockSpec(a.shape, lambda l, t: (0,) * a.ndim)
 
+    has_vmw = vmw is not None
+    vmw_inputs, vmw_specs = [], []
+    if has_vmw:
+        assert vmw.shape == (L, B * Lq, F), (vmw.shape, L, B * Lq, F)
+        vmw_inputs = [vmw.reshape(L * n_tiles, Rt, F)]
+        vmw_specs = [pl.BlockSpec((1, Rt, F), lambda l, t: (l * n_tiles + t, 0, 0))]
+
     in_specs = [
         const(x_flat),  # whole input resident (fetched once)
         lspec(1, F, 3 * F), lspec(1, 1, 3 * F),
@@ -604,11 +653,11 @@ def fused_decoder_forward_resident(
         lspec(1, 3, F), lspec(1, 3, F),
         kv_spec(), kv_spec(),
         const(person_mask), const(sel_pq), const(sel_ps), const(sel_vm),
-    ] + ([const(key_mask)] if padded else [])
+    ] + ([const(key_mask)] if padded else []) + vmw_specs
     out = pl.pallas_call(
         functools.partial(
             _decoder_kernel_resident, n_heads=n_heads, tile_entries=T,
-            rows_per_tile=Rt, padded=padded,
+            rows_per_tile=Rt, padded=padded, has_vmw=has_vmw,
         ),
         grid=(L, n_tiles),
         in_specs=in_specs,
@@ -624,10 +673,35 @@ def fused_decoder_forward_resident(
         pack["ln_scale"], pack["ln_bias"],
         kmem.reshape(L * n_tiles, Mt, F), vmem.reshape(L * n_tiles, Mt, F),
         person_mask, sel_pq, sel_ps, sel_vm,
-        *([key_mask] if padded else []),
+        *([key_mask] if padded else []), *vmw_inputs,
     )
     out = out.reshape(B, Lq, F)
     return out[:, :Lq_in] if padded else out
+
+
+def build_vmw(sel_vm, vmem, wco, n_tiles: int, out_dtype=None):
+    """The hoisted PROJECTED identity-band V-gather for the decoder
+    kernels: ``(sel_vm @ vm) @ wco`` per layer and tile. Both factors
+    are step-invariant inside a sampling window (the memory K/V cache is
+    built once), so the DDPM hot loop can skip the dense (Rt, Mt)
+    one-hot-gather matmul AND shrink the (Rt, F) wco projection to the
+    person rows — see _layer_compute's ``vmw`` branch for the row-exact
+    argument (sel_ps and sel_vm have disjoint row supports).
+
+    sel_vm: (Rt, Mt) one-hot; vmem: (L, n_tiles*Mt, F); wco: (L, F, F).
+    Returns (L, n_tiles*Rt, F) in ``out_dtype`` (default f32). The
+    gather result is rounded through vmem's dtype exactly as the
+    in-kernel gather would produce it before the f32-accumulated wco
+    dot."""
+    L, Mtot, F = vmem.shape
+    Mt = Mtot // n_tiles
+    f32 = jnp.float32
+    vm_t = vmem.reshape(L, n_tiles, Mt, F)
+    gat = jnp.einsum("rm,ltmf->ltrf", sel_vm.astype(f32), vm_t.astype(f32))
+    gat = gat.astype(vmem.dtype).astype(f32)
+    out = jnp.einsum("ltrf,lfg->ltrg", gat, wco.astype(f32))
+    out = out.reshape(L, n_tiles * sel_vm.shape[0], F)
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 # ---------------------------------------------------------------------------
@@ -789,24 +863,29 @@ def _sampler_step_kernel(
 # ---------------------------------------------------------------------------
 
 def _sampler_scan_kernel(
-    # streamed per step (grid dim 0 = scan order t = T..1)
-    emb_row, sc, z,
-    # initial motion x_T
-    motion_T,
-    # prologue constants
-    prev_rows, ind_col, wfp, bfp, persons_pre, pe_flat,
-    # resident weight stacks (leading dim = layer, whole-array in VMEM)
-    wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2, ln_scale, ln_bias,
-    kmem, vmem,
-    # masks / selectors
-    self_mask, person_mask, sel_pq, sel_ps, sel_vm, sel_pp, sel_mm, sel_tail,
-    # epilogue constants
-    wd1, bd1, wd2, bd2, statics_rows, pose_sum_rows,
-    # output / scratch
-    out_ref, m_scr,
-    *, n_layers: int, n_heads: int, n_entries: int, n_cur: int, d_motion: int,
+    *refs, n_layers: int, n_heads: int, n_entries: int, n_cur: int, d_motion: int,
     num_basis: int, use_indicator: bool, sigmoid_alpha: bool, coefficients,
+    padded: bool = False, has_vmw: bool = False,
 ):
+    # ref order mirrors the `inputs` list in fused_sampler_scan:
+    # streamed per step (grid dim 0 = scan order t = T..1), then x_T,
+    # prologue constants, resident per-layer weight stacks, memory K/V,
+    # masks/selectors (+ the pad-row key mask in padded mode, + the
+    # hoisted per-layer V-gather stack), epilogue constants, output,
+    # VMEM scratch.
+    (emb_row, sc, z,
+     motion_T,
+     prev_rows, ind_col, wfp, bfp, persons_pre, pe_flat,
+     wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
+     ln_scale, ln_bias, kmem, vmem,
+     person_mask, sel_pq, sel_ps, sel_vm, sel_pp, sel_mm, sel_tail,
+     *rest) = refs
+    key_mask = vmw = None
+    if padded:
+        key_mask, rest = rest[0], rest[1:]
+    if has_vmw:
+        vmw, rest = rest[0], rest[1:]
+    wd1, bd1, wd2, bd2, statics_rows, pose_sum_rows, out_ref, m_scr = rest
     s = pl.program_id(0)
     F = wso.shape[-1]
     dh = F // n_heads
@@ -856,6 +935,8 @@ def _sampler_scan_kernel(
             ln_scale=ln_scale[i], ln_bias=ln_bias[i], km=kmem[i], vm=vmem[i],
             person_mask=person_mask[:], sel_pq=sel_pq[:],
             sel_ps=sel_ps[:], sel_vm=sel_vm[:],
+            key_mask=key_mask[:] if padded else None,
+            vmw=vmw[i] if has_vmw else None,
         )
 
     # ---- epilogue (every step): decode + CFG + DDPM -------------------
@@ -908,17 +989,26 @@ def fused_sampler_scan(
     """The ENTIRE T-step reverse diffusion (batch 1) as one Pallas
     program with all weights VMEM-resident; returns motion x_0
     (n_cur, d_motion) f32. See _sampler_scan_kernel for the design.
+    Sublane padding: when ``const`` carries a ``key_mask``, the token
+    rows are padded per entry to an 8-multiple (126 -> 128 at the
+    flagship geometry) — every per-entry slice is 8-aligned and the
+    per-entry attention dots are exactly MXU-tile-shaped; the key mask
+    hides the pad rows from self-attention keys (their own outputs are
+    never read: all selectors are zero on pad rows).
     Reference semantics: model.py:377-435 (the full sampler loop)."""
     T = z_scan.shape[0]
     L = pack["wqkv"].shape[0]
+    padded = const.get("key_mask") is not None
+    has_vmw = const.get("vmw") is not None
 
     res = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # whole array, loaded once
     step = lambda a: pl.BlockSpec((1,) + a.shape[1:], lambda s, _nd=a.ndim: (s,) + (0,) * (_nd - 1))
 
     const_order = ("prev_rows", "ind_col", "wfp", "bfp", "persons_pre", "pe_flat")
     mask_order = (
-        "self_mask", "person_mask", "sel_pq", "sel_ps", "sel_vm",
-        "sel_pp", "sel_mm", "sel_tail",
+        ("person_mask", "sel_pq", "sel_ps", "sel_vm", "sel_pp", "sel_mm", "sel_tail")
+        + (("key_mask",) if padded else ())
+        + (("vmw",) if has_vmw else ())
     )
     epi_order = ("wd1", "bd1", "wd2", "bd2", "statics_rows", "pose_sum_rows")
     layer_arrs = [
@@ -941,7 +1031,8 @@ def fused_sampler_scan(
         _sampler_scan_kernel,
         n_layers=L, n_heads=n_heads, n_entries=n_entries, n_cur=n_cur,
         d_motion=d_motion, num_basis=num_basis, use_indicator=use_indicator,
-        sigmoid_alpha=sigmoid_alpha, coefficients=coefficients,
+        sigmoid_alpha=sigmoid_alpha, coefficients=coefficients, padded=padded,
+        has_vmw=has_vmw,
     )
     return pl.pallas_call(
         kernel,
