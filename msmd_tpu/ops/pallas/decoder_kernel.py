@@ -29,6 +29,7 @@ Inference-only (dropout-free), exactly like the sampling path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -250,12 +251,22 @@ def _gelu(x, cdt=None):
     return x * 0.5 * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
 
 
+def _fast_softmax_active(cdt):
+    """Trace-time: is the reduce-free fast softmax (see _attn_pv) the
+    selected implementation for matmul dtype ``cdt``?"""
+    import os
+
+    impl = os.environ.get("MSMD_FAST_SOFTMAX", "auto")
+    return impl == "1" or (impl == "auto" and cdt == jnp.bfloat16)
+
+
 def _layer_compute(
     x, *, n_heads, per_entry, identity_band,
     wqkv, bqkv, wso, bso, wcq, bcq, wco, bco, wf1, bf1, wf2, bf2,
     ln_scale, ln_bias, km, vm,
     self_mask=None, cross_mask=None, person_mask=None, sel_pq=None,
     sel_ps=None, sel_vm=None, key_mask=None, vmw=None,
+    head_mask=None, concat_sel=False,
 ):
     """One decoder layer on already-loaded arrays (shared by the
     tile-outer kernel, the layer-outer resident kernel and the
@@ -272,7 +283,26 @@ def _layer_compute(
     sel_vm to motion rows only (disjoint supports), so distributing wco
     over the two terms changes no row's arithmetic — and it removes the
     (R, Mt) gather matmul AND shrinks the (R, F) wco projection to the
-    T person rows, per layer per step."""
+    T person rows, per layer per step.
+
+    ``head_mask`` (n_heads*lq, F) 0/1 in the matmul dtype enables
+    MERGED-HEAD attention (latency regime): all heads' scores come from
+    ONE (lq, H*lq) dot against a block-masked vertically-tiled K, the
+    PV pass is ONE dot against the same-masked tiled V (output column
+    block h = head h, i.e. the head concat falls out for free), and the
+    per-head normalization is ONE dot of exp-scores against head_mask
+    (the expanded per-block row sums). Exact same fast-softmax algebra
+    per head — the mask zeros are exact, only f32-accumulation pairing
+    differs; requires the fast softmax (per-block normalization can't
+    ride a plain row softmax). Trades ~4x MXU MAC waste on the tiny
+    per-entry score matrices for ~14 fewer serialized dot issues per
+    entry per layer — a win only where op-issue latency dominates
+    (batch-1 whole-scan kernel; measured, BENCH.md).
+
+    ``concat_sel``: replace the one-hot selector matmuls (sel_pq person
+    gather, sel_ps person scatter) with row slices / concats — exact
+    (and skips the bf16 round-trip the selector dots impose); requires
+    per_entry mode and ``vmw`` (the scatter-free cross build)."""
     F = x.shape[-1]
     dh = F // n_heads
     scale = 1.0 / np.sqrt(dh)
@@ -292,19 +322,32 @@ def _layer_compute(
     qkv = dot(x, wqkv) + bqkv.astype(jnp.float32)  # (R, 3F)
     if per_entry:
         lq = x.shape[0] // per_entry
+        merged = head_mask is not None and _fast_softmax_active(cdt)
         entries = []
         for e in range(per_entry):
             rows = qkv[e * lq : (e + 1) * lq]
-            heads = []
-            for h in range(n_heads):
-                q = rows[:, h * dh : (h + 1) * dh] * scale
-                k = rows[:, F + h * dh : F + (h + 1) * dh]
-                v = rows[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
-                s = dot_t(q, k.astype(cdt))
+            if merged:
+                q = rows[:, :F] * scale
+                kbd = jnp.concatenate([rows[:, F : 2 * F].astype(cdt)] * n_heads, 0) * head_mask
+                vbd = jnp.concatenate([rows[:, 2 * F :].astype(cdt)] * n_heads, 0) * head_mask
+                s = dot_t(q, kbd)  # (lq, H*lq): column block h = head h scores
                 if key_mask is not None:
-                    s = s + key_mask
-                heads.append(_attn_pv(s, v.astype(cdt), dot, cdt))
-            entries.append(jnp.concatenate(heads, axis=-1))
+                    s = s + jnp.tile(key_mask, (1, n_heads))
+                e_ = jnp.exp(s - jnp.float32(20.0))
+                out_un = dot(e_, vbd)  # (lq, F): col block h = head h PV
+                denom = dot(e_, head_mask)  # (lq, F): per-block row sums, expanded
+                entries.append(out_un * jax.lax.reciprocal(denom))
+            else:
+                heads = []
+                for h in range(n_heads):
+                    q = rows[:, h * dh : (h + 1) * dh] * scale
+                    k = rows[:, F + h * dh : F + (h + 1) * dh]
+                    v = rows[:, 2 * F + h * dh : 2 * F + (h + 1) * dh]
+                    s = dot_t(q, k.astype(cdt))
+                    if key_mask is not None:
+                        s = s + key_mask
+                    heads.append(_attn_pv(s, v.astype(cdt), dot, cdt))
+                entries.append(jnp.concatenate(heads, axis=-1))
         sa = jnp.concatenate(entries, axis=0)
     else:
         heads = []
@@ -324,15 +367,53 @@ def _layer_compute(
         # masked softmax is exactly a one-hot over memory token i, so its
         # output is vm[i] — realized as the one-hot selector matmul
         # sel_vm @ vm. Only the person rows compute real attention.
-        xp = dot(sel_pq, x.astype(cdt))  # (T, F) person activations
+        T_p = person_mask.shape[0]
+        if concat_sel:
+            lq_ = x.shape[0] // per_entry
+            xp = jnp.concatenate(
+                [x[e * lq_ : e * lq_ + 1] for e in range(per_entry)], 0
+            )  # (T, F) person activations, f32 (no selector-dot round-trip)
+        else:
+            xp = dot(sel_pq, x.astype(cdt))  # (T, F) person activations
         qp = dot(xp, wcq) + bcq.astype(jnp.float32)
-        heads = []
-        for h in range(n_heads):
-            q = qp[:, h * dh : (h + 1) * dh] * scale
-            s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + person_mask
-            heads.append(_attn_pv(s, vm[:, h * dh : (h + 1) * dh], dot, cdt))
-        person_out = jnp.concatenate(heads, axis=-1)  # (T, F)
-        if vmw is not None:
+        if head_mask is not None and _fast_softmax_active(cdt):
+            # merged-head person cross-attention: ONE score dot for all
+            # heads via a block-masked head-major stack of the queries
+            # (row h*T+e = entry e's head-h query), ONE full PV dot with
+            # the invalid column blocks masked after, per-row (= per
+            # head) fast-softmax normalization, then collapse the head
+            # axis by summing the H disjoint-support row groups.
+            rr = jax.lax.broadcasted_iota(jnp.int32, (n_heads * T_p, F), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (n_heads * T_p, F), 1)
+            qmask = ((rr // T_p) == (cc // dh)).astype(cdt)
+            q_bd = jnp.concatenate([(qp * scale).astype(cdt)] * n_heads, 0) * qmask
+            s = dot_t(q_bd, km) + jnp.tile(person_mask, (n_heads, 1))  # (H*T, Mt)
+            e_ = jnp.exp(s - jnp.float32(20.0))
+            pv = dot(e_, vm) * qmask.astype(jnp.float32)  # (H*T, F), head-h cols only
+            out_n = pv * jax.lax.reciprocal(jnp.sum(e_, axis=-1, keepdims=True))
+            person_out = out_n[:T_p]
+            for h in range(1, n_heads):
+                person_out = person_out + out_n[h * T_p : (h + 1) * T_p]
+        else:
+            heads = []
+            for h in range(n_heads):
+                q = qp[:, h * dh : (h + 1) * dh] * scale
+                s = dot_t(q, km[:, h * dh : (h + 1) * dh]) + person_mask
+                heads.append(_attn_pv(s, vm[:, h * dh : (h + 1) * dh], dot, cdt))
+            person_out = jnp.concatenate(heads, axis=-1)  # (T, F)
+        if concat_sel:
+            # slice/concat build of the cross output: person rows carry
+            # the projected person attention (the vmw row there is 0 by
+            # construction), motion rows the hoisted projected V-gather
+            po = dot(person_out, wco)  # (T, F)
+            vmw_f = vmw.astype(jnp.float32)
+            lq_ = x.shape[0] // per_entry
+            blocks = []
+            for e in range(per_entry):
+                blocks.append(po[e : e + 1] + vmw_f[e * lq_ : e * lq_ + 1])
+                blocks.append(vmw_f[e * lq_ + 1 : (e + 1) * lq_])
+            ca = jnp.concatenate(blocks, 0) + bco.astype(jnp.float32)
+        elif vmw is not None:
             # hoisted projected gather: project the T person rows FIRST
             # (tiny matmul), scatter, and add the precomputed motion-row
             # block — row-exact vs the else-branch (disjoint supports)
@@ -891,6 +972,22 @@ def _sampler_scan_kernel(
     dh = F // n_heads
     scale = 1.0 / np.sqrt(dh)
     cdt = wqkv.dtype
+    R = pe_flat.shape[0]
+    lq = R // n_entries
+    P = prev_rows.shape[0]
+    lm = P + n_cur
+    # latency-regime rewrites (trace-time knobs; see _layer_compute):
+    # concat/slice row builds replace every one-hot selector matmul
+    # (sel_pp/sel_mm prologue scatter, sel_pq/sel_ps person gather/
+    # scatter, sel_tail epilogue gather), and merged-head attention
+    # collapses the per-head dot fan-out to one dot per pass.
+    concat_sel = has_vmw and os.environ.get("MSMD_SCAN_CONCAT", "1") != "0"
+    merged = os.environ.get("MSMD_MERGED_HEADS", "0") == "1" and _fast_softmax_active(cdt)
+    head_mask = None
+    if merged:
+        rr = jax.lax.broadcasted_iota(jnp.int32, (n_heads * lq, F), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (n_heads * lq, F), 1)
+        head_mask = ((rr // lq) == (cc // dh)).astype(cdt)
 
     def dot(a, b):
         return jax.lax.dot_general(
@@ -916,11 +1013,21 @@ def _sampler_scan_kernel(
     rows = jnp.concatenate([prev_rows[:], cur], axis=0)  # (lm, Din)
     feats_m = dot(rows, wfp[:]) + bfp[:].astype(jnp.float32)  # (lm, F)
     persons = persons_pre[:] + emb_row[0]  # (E, F) + (1, F)
-    x = (
-        dot(sel_pp[:], persons.astype(cdt))
-        + dot(sel_mm[:], feats_m.astype(cdt))
-        + pe_flat[:]
-    )
+    if concat_sel:
+        pad_n = lq - 1 - lm
+        blocks = []
+        for e in range(n_entries):
+            blocks.append(persons[e : e + 1])
+            blocks.append(feats_m)
+            if pad_n:
+                blocks.append(jnp.zeros((pad_n, F), jnp.float32))
+        x = jnp.concatenate(blocks, 0) + pe_flat[:]
+    else:
+        x = (
+            dot(sel_pp[:], persons.astype(cdt))
+            + dot(sel_mm[:], feats_m.astype(cdt))
+            + pe_flat[:]
+        )
 
     # ---- decoder stack (unrolled; weights resident) -------------------
     # per-entry self-attention: each CFG entry's (lq, lq) attention as
@@ -937,10 +1044,16 @@ def _sampler_scan_kernel(
             sel_ps=sel_ps[:], sel_vm=sel_vm[:],
             key_mask=key_mask[:] if padded else None,
             vmw=vmw[i] if has_vmw else None,
+            head_mask=head_mask, concat_sel=concat_sel,
         )
 
     # ---- epilogue (every step): decode + CFG + DDPM -------------------
-    feats_tail = dot(sel_tail[:], x.astype(cdt))  # (E*n_cur, F)
+    if concat_sel:
+        feats_tail = jnp.concatenate(
+            [x[e * lq + 1 + P : e * lq + 1 + P + n_cur] for e in range(n_entries)], 0
+        )  # (E*n_cur, F)
+    else:
+        feats_tail = dot(sel_tail[:], x.astype(cdt))  # (E*n_cur, F)
     hdec = _gelu(dot(feats_tail, wd1[:]) + bd1[:].astype(jnp.float32), cdt)
     dec = dot(hdec, wd2[:]) + bd2[:].astype(jnp.float32)  # (E*n_cur, D+K)
     dynamic = dec[:, :d_motion]

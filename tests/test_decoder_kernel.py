@@ -307,6 +307,68 @@ def test_fused_sampler_step_f32_three_way(monkeypatch):
     np.testing.assert_allclose(a, c, atol=5e-4, rtol=1e-4)
 
 
+def test_scan_kernel_merged_heads_and_concat(monkeypatch):
+    """The latency-regime scan-kernel rewrites — merged-head attention
+    (MSMD_MERGED_HEADS, requires the fast softmax) and concat/slice row
+    builds (MSMD_SCAN_CONCAT) — match the selector-matmul / unrolled-head
+    baseline to f32 tolerance through the full 4-step sampler."""
+    from msmd_tpu.config import MSMDConfig
+    from msmd_tpu.models.audio import AudioEncoderConfig
+    from msmd_tpu.models.diffusion import get_diffusion_model, sample
+
+    cfg = MSMDConfig(
+        feature_dim=32, n_heads=4, n_layers=2, mlp_ratio=2, d_style=16,
+        n_motions=8, n_prev_motions=4, n_diff_steps=4, num_of_basis=2,
+        use_indicator=True, compute_dtype="float32",
+    )
+    audio_cfg = AudioEncoderConfig(
+        hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+        conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3), conv_stride=(5, 4, 4),
+    )
+    model = get_diffusion_model(cfg, audio_config=audio_cfg, dtype=jnp.float32)
+    rs = np.random.RandomState(5)
+    motion = jnp.zeros((1, cfg.n_motions, cfg.motion_feat_dim))
+    audio = jnp.asarray(rs.randn(1, cfg.n_audio_samples).astype(np.float32) * 0.1)
+    shape = jnp.asarray(rs.randn(1, 100).astype(np.float32) * 0.1)
+    style = jnp.asarray(rs.randn(1, cfg.d_style).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        motion, audio, shape, style, deterministic=True,
+    )
+    mT = jnp.asarray(rs.randn(1, cfg.n_motions, cfg.motion_feat_dim).astype(np.float32))
+    z = jnp.asarray(rs.randn(cfg.n_diff_steps, 1, cfg.n_motions, cfg.motion_feat_dim).astype(np.float32))
+    kw = dict(motion_at_T=mT, noise_override=z)
+
+    def run():
+        m, _, _ = sample(model, variables, jax.random.PRNGKey(2), audio, shape, style,
+                         fused_decoder=True, **kw)
+        return np.asarray(m, np.float32)
+
+    monkeypatch.setenv("MSMD_SCAN_CONCAT", "0")
+    monkeypatch.setenv("MSMD_MERGED_HEADS", "0")
+    base = run()
+    assert np.isfinite(base).all()
+
+    monkeypatch.setenv("MSMD_SCAN_CONCAT", "1")
+    np.testing.assert_allclose(run(), base, atol=5e-5, rtol=1e-4)
+
+    # merged heads need the fast softmax (per-head-block normalization)
+    monkeypatch.setenv("MSMD_MERGED_HEADS", "1")
+    monkeypatch.setenv("MSMD_FAST_SOFTMAX", "1")
+    np.testing.assert_allclose(run(), base, atol=5e-4, rtol=5e-4)
+
+    # without fast softmax the merged path must auto-disable (not crash,
+    # and still match: the unrolled safe-softmax branch runs)
+    monkeypatch.delenv("MSMD_FAST_SOFTMAX")
+    np.testing.assert_allclose(run(), base, atol=5e-5, rtol=1e-4)
+
+    # pad path exercised too: lq = 13 is odd, MSMD_SCAN_PAD defaults on;
+    # force it off to cover the unpadded layout with both knobs
+    monkeypatch.setenv("MSMD_SCAN_PAD", "0")
+    monkeypatch.setenv("MSMD_FAST_SOFTMAX", "1")
+    np.testing.assert_allclose(run(), base, atol=5e-4, rtol=5e-4)
+
+
 def test_attention_middle_kernel_matches_einsum():
     """Hybrid attention-middle kernel == the XLA einsum attention (no
     mask, per-entry isolation structural)."""
