@@ -26,6 +26,13 @@ import time
 def main():
     import jax
 
+    # honor JAX_PLATFORMS even though the environment's sitecustomize
+    # pre-registers the remote-TPU backend (same fix as the CLIs) — a
+    # JAX_PLATFORMS=cpu MSMD_BENCH_TINY=1 run is the CPU smoke test
+    from msmd_tpu.platform import apply_platform_env
+
+    apply_platform_env()
+
     # persistent compile cache (helps when the backend honors it; the
     # first compile of the 500-step program is minutes-long otherwise)
     try:

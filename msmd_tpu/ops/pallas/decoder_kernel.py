@@ -266,7 +266,7 @@ def _layer_compute(
     ln_scale, ln_bias, km, vm,
     self_mask=None, cross_mask=None, person_mask=None, sel_pq=None,
     sel_ps=None, sel_vm=None, key_mask=None, vmw=None,
-    head_mask=None, concat_sel=False,
+    head_mask=None, concat_sel=False, merged_person=False,
 ):
     """One decoder layer on already-loaded arrays (shared by the
     tile-outer kernel, the layer-outer resident kernel and the
@@ -302,7 +302,15 @@ def _layer_compute(
     ``concat_sel``: replace the one-hot selector matmuls (sel_pq person
     gather, sel_ps person scatter) with row slices / concats — exact
     (and skips the bf16 round-trip the selector dots impose); requires
-    per_entry mode and ``vmw`` (the scatter-free cross build)."""
+    per_entry mode and ``vmw`` (the scatter-free cross build).
+
+    ``merged_person``: merged-head PERSON cross-attention only (same
+    algebra as the head_mask path's person branch, independent of the
+    self-attention form). The person score matrices are tiny ((T, Mt)
+    per head), so merging their 2*n_heads serialized dots into 2 costs
+    almost no MAC waste even in the throughput regime — unlike merged
+    SELF attention, whose (lq, H*lq) score waste only pays off at
+    batch 1. Requires the fast softmax (auto-disabled otherwise)."""
     F = x.shape[-1]
     dh = F // n_heads
     scale = 1.0 / np.sqrt(dh)
@@ -376,7 +384,7 @@ def _layer_compute(
         else:
             xp = dot(sel_pq, x.astype(cdt))  # (T, F) person activations
         qp = dot(xp, wcq) + bcq.astype(jnp.float32)
-        if head_mask is not None and _fast_softmax_active(cdt):
+        if merged_person and _fast_softmax_active(cdt):
             # merged-head person cross-attention: ONE score dot for all
             # heads via a block-masked head-major stack of the queries
             # (row h*T+e = entry e's head-h query), ONE full PV dot with
@@ -496,7 +504,14 @@ def _decoder_kernel(*refs, n_heads: int, identity_band: bool, per_entry: int = 0
         sel_vm=sel_vm[:] if identity_band else None,
         key_mask=key_mask[:] if key_mask is not None else None,
         vmw=vmw_ref[0] if has_vmw else None,
+        merged_person=identity_band and _merged_person_env(),
     )
+
+
+def _merged_person_env():
+    """Trace-time: MSMD_MERGED_PERSON=1 opts the throughput kernels into
+    merged-head person cross-attention (see _layer_compute)."""
+    return os.environ.get("MSMD_MERGED_PERSON", "0") == "1"
 
 
 def _pad_rows(x, pad_lq):
@@ -673,6 +688,7 @@ def _decoder_kernel_resident(
         sel_ps=sel_ps[:], sel_vm=sel_vm[:],
         key_mask=key_mask[:] if padded else None,
         vmw=vmw_ref[0] if has_vmw else None,
+        merged_person=_merged_person_env(),
     )
 
 

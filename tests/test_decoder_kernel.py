@@ -191,6 +191,54 @@ def test_fused_decoder_per_entry_attention():
                                    err_msg=f"tile={tile}")
 
 
+def test_fused_decoder_merged_person_cross(monkeypatch):
+    """MSMD_MERGED_PERSON=1 (merged-head person cross-attention in the
+    throughput kernels; requires the fast softmax) == flax decoder, in
+    both grid orders. Caches cleared per call: the knob is read at trace
+    time inside module-level jits."""
+    from msmd_tpu.ops.pallas.decoder_kernel import (
+        build_identity_band_aux, fused_decoder_forward_resident,
+    )
+
+    B, Lq, Lm, F, H, L = 4, 14, 13, 32, 4, 3
+    n_prev, n_cur = 4, 9
+    dec, variables, x, mem = _setup(B, Lq, Lm, F, H, L, seed=29)
+    align = alignment_mask(n_prev, n_cur, 1)
+    kv = dec.apply(variables, jnp.asarray(mem), method=TransformerDecoder.cache_memory)
+    want = np.asarray(dec.apply(variables, jnp.asarray(x), None, align, True, memory_kv=kv))
+
+    pack = pack_decoder_weights(variables["params"], L, dtype=jnp.float32)
+    km, vm = pack_memory_kv(kv, dtype=jnp.float32)
+    monkeypatch.setenv("MSMD_MERGED_PERSON", "1")
+    monkeypatch.setenv("MSMD_FAST_SOFTMAX", "1")
+    for tile in (2, 4):
+        jax.clear_caches()
+        aux = build_identity_band_aux(tile, Lq, Lm, dtype=jnp.float32)
+        got = fused_decoder_forward(
+            pack, km, vm, jnp.asarray(x), None, aux, n_heads=H, tile_entries=tile,
+            per_entry_attention=True, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=1e-4,
+                                   err_msg=f"tile-outer tile={tile}")
+    jax.clear_caches()
+    aux = build_identity_band_aux(2, Lq, Lm, dtype=jnp.float32)
+    got = fused_decoder_forward_resident(
+        pack, km, vm, jnp.asarray(x), aux, n_heads=H, tile_entries=2, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=1e-4,
+                               err_msg="layer-outer resident")
+    # without the fast softmax the merged path must auto-disable and
+    # still match (the unrolled per-head branch runs)
+    monkeypatch.delenv("MSMD_FAST_SOFTMAX")
+    jax.clear_caches()
+    got = fused_decoder_forward(
+        pack, km, vm, jnp.asarray(x), None, aux, n_heads=H, tile_entries=2,
+        per_entry_attention=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-5)
+    jax.clear_caches()
+
+
 def test_fused_decoder_layer_outer_resident():
     """layer-outer resident-activation grid (weights streamed once per
     layer, full-batch activations in one VMEM block) == flax decoder
@@ -340,6 +388,10 @@ def test_scan_kernel_merged_heads_and_concat(monkeypatch):
     kw = dict(motion_at_T=mT, noise_override=z)
 
     def run():
+        # the scan kernel lives inside a module-level jit; env knobs are
+        # read at TRACE time, so a same-shape re-call would silently hit
+        # the cache and compare the old trace to itself (vacuous)
+        jax.clear_caches()
         m, _, _ = sample(model, variables, jax.random.PRNGKey(2), audio, shape, style,
                          fused_decoder=True, **kw)
         return np.asarray(m, np.float32)
@@ -420,6 +472,9 @@ def test_fast_softmax_and_tanh_gelu_knobs(monkeypatch):
     aux = build_identity_band_aux(2, Lq, Lm, dtype=jnp.float32)
 
     def run():
+        # fused_decoder_forward is a module-level jit and the knobs are
+        # read at trace time — clear the cache so each flip retraces
+        jax.clear_caches()
         return np.asarray(fused_decoder_forward(
             pack, km, vm, jnp.asarray(x), None, aux, n_heads=H, tile_entries=2,
             per_entry_attention=True, interpret=True,
