@@ -176,9 +176,12 @@ class DenoisingNetwork(nn.Module):
         # width-1 band (the default): every motion row's softmax is a
         # one-hot over exactly one memory token, so cross-attention is an
         # exact V-gather (transformer.MultiHeadAttention._identity_band).
-        # Gated to deterministic mode: train-time attention dropout acts
-        # on the full weight matrix, so training keeps the masked softmax.
-        identity_band = cfg.align_mask_width == 1 and deterministic
+        # Deterministic mode always; training only with the opt-in
+        # --identity_band_train (one-hot weight dropout becomes a
+        # Bernoulli on the gathered V rows — statistically equivalent).
+        identity_band = cfg.align_mask_width == 1 and (
+            deterministic or getattr(cfg, "identity_band_train", False)
+        )
         if cfg.align_mask_width > 0 and not identity_band:
             memory_mask = alignment_mask(n_prev, n_cur, cfg.align_mask_width)
 

@@ -89,8 +89,15 @@ class MultiHeadAttention(nn.Module):
         (i-1), so its softmax is exactly a one-hot and its output is
         ``v[i-1]`` — no q/k products needed. Only the person row (row 0,
         unmasked over the full memory) computes real attention. Exact
-        trace-time rewrite of the masked softmax; eval/sampling only
-        (train-mode attention dropout acts on the full weight matrix)."""
+        trace-time rewrite of the masked softmax in deterministic mode.
+
+        Train mode (``--identity_band_train``): attention-weight dropout
+        acting on a one-hot weight row is exactly a Bernoulli(1-p)/(1-p)
+        scale of the gathered V row, sampled per (batch, row, head) —
+        the zero weights stay zero under dropout. Statistically
+        equivalent to the reference's full-matrix weight dropout (the
+        RNG stream differs; same RNG-bound class as SpecAugment,
+        PARITY.md). The person row keeps real weight dropout."""
         B, Lq, _ = q.shape
         q0 = self.q_proj(q[:, :1]).reshape(B, 1, self.n_heads, self.head_dim)
         scale = jnp.asarray(1.0 / self.head_dim ** 0.5, self.dtype)
@@ -99,7 +106,18 @@ class MultiHeadAttention(nn.Module):
         w0 = nn.softmax(logits0.astype(sm_dt), axis=-1).astype(self.dtype)
         w0 = self.attn_drop(w0, deterministic=deterministic)
         person = jnp.einsum("bhqk,bkhd->bqhd", w0, vh)
-        out = jnp.concatenate([person, vh.astype(self.dtype)], axis=1)
+        motion = vh.astype(self.dtype)
+        if not deterministic and self.dropout > 0.0:
+            import jax as _jax
+
+            keep = _jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - self.dropout,
+                (B, kh.shape[1], self.n_heads, 1),
+            )
+            motion = motion * keep.astype(self.dtype) / jnp.asarray(
+                1.0 - self.dropout, self.dtype
+            )
+        out = jnp.concatenate([person, motion], axis=1)
         return self.out_proj(out.reshape(B, Lq, self.dim))
 
     def self_attn_preproj(self, x: jnp.ndarray) -> jnp.ndarray:

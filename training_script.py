@@ -110,6 +110,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="cap batches per periodic-validation round (<=0 = reference full-epoch semantics)")
     parser.add_argument("--fused_ffn_train", action="store_true",
                         help="training FFN+dropout+LN as a Pallas kernel with custom VJP (in-kernel PRNG dropout)")
+    parser.add_argument("--identity_band_train", action="store_true",
+                        help="identity-band cross-attention in training too (width-1 band; one-hot weight "
+                             "dropout becomes a Bernoulli on the gathered V rows — statistically equivalent)")
     parser.add_argument("--remat_denoiser", action="store_true",
                         help="gradient-checkpoint the decoder layers (recompute activations in backward)")
     parser.add_argument("--batch_overfit_size", type=int, default=-1, help="overfit smoke mode: dataset of k items")
