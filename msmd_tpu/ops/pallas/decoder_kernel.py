@@ -254,8 +254,6 @@ def _gelu(x, cdt=None):
 def _fast_softmax_active(cdt):
     """Trace-time: is the reduce-free fast softmax (see _attn_pv) the
     selected implementation for matmul dtype ``cdt``?"""
-    import os
-
     impl = os.environ.get("MSMD_FAST_SOFTMAX", "auto")
     return impl == "1" or (impl == "auto" and cdt == jnp.bfloat16)
 
