@@ -505,8 +505,17 @@ def sample(
         env = os.environ.get("MSMD_FUSED_DECODER", "")
         _lq = 1 + stacks["prev_motion_in"].shape[1] + n_motions
         _cap = int(os.environ.get("MSMD_DECODER_TILE", "8"))
-        per_entry_viable = cfg.align_mask_width == 1 and any(
-            Be % d == 0 and (d * _lq) % 8 == 0 for d in range(1, _cap + 1)
+        # MSMD_PER_ENTRY_ATTN=0 must also veto the throughput auto-enable:
+        # without per-entry mode the large-batch kernel would be the flat
+        # masked variant, which measured SLOWER than the XLA decoder
+        # (BENCH.md r2) — disabling the mode should fall back to XLA, not
+        # silently select the worse kernel. (env == "1" still forces.)
+        per_entry_viable = (
+            cfg.align_mask_width == 1
+            and os.environ.get("MSMD_PER_ENTRY_ATTN", "1") != "0"
+            and any(
+                Be % d == 0 and (d * _lq) % 8 == 0 for d in range(1, _cap + 1)
+            )
         )
         fused_decoder = (
             model.dtype == jnp.bfloat16
@@ -526,8 +535,8 @@ def sample(
         # Per-entry-attention mode (identity-band only): self-attention
         # runs per entry inside the kernel — no flattened score waste —
         # so larger tiles are free; pick the largest divisor of Be up to
-        # MSMD_DECODER_TILE (default 16) to amortize weight re-streaming
-        # across tiles. Flat (masked) mode keeps the tile small (8): its
+        # MSMD_DECODER_TILE (default 8 — the measured batch-48 optimum,
+        # BENCH.md r3). Flat (masked) mode keeps the tile small (8): its
         # score matrix is quadratic in the tile.
         # (gated to the throughput regime: at Be <= 4 the flattened-score
         # waste is negligible and the latency-regime mega kernels use the
@@ -599,26 +608,6 @@ def sample(
             pad_lq=lq_pad,
             interpret=jax.default_backend() == "cpu",
         )
-        # Hoist the PROJECTED identity-band V-gather out of the DDPM hot
-        # loop: (sel_vm @ vm) @ wco is step-invariant (the memory V cache
-        # is built once per window), so precomputing it removes a dense
-        # (Rt, Mt) one-hot-gather matmul AND shrinks the (Rt, F) wco
-        # projection to the person rows — per layer per tile per step
-        # (~150 GFLOP/step at the batch-48 flagship shapes). Row-exact
-        # rewrite (disjoint supports, see _layer_compute); stored in the
-        # kernel matmul dtype (streamed per (tile, layer) like K/V;
-        # MSMD_VMW_F32=1 stores f32 at 2x the DMA).
-        if cfg.align_mask_width == 1 and os.environ.get("MSMD_VMW_HOIST", "1") != "0":
-            from msmd_tpu.ops.pallas.decoder_kernel import build_vmw
-
-            vmw_dt = (
-                jnp.float32
-                if os.environ.get("MSMD_VMW_F32", "0") == "1"
-                else model.dtype
-            )
-            fused["vmw"] = build_vmw(
-                cm[3], vm, fused["pack"]["wco"], Be // tile, out_dtype=vmw_dt
-            )
 
     # Fused FFN+LN Pallas kernel for the XLA (large-batch) decoder path:
     # the FFN hidden state is the largest unfused HBM intermediate of the
@@ -829,6 +818,35 @@ def sample(
         )
         motion_0 = m0[None].astype(motion_at_T.dtype)
         return motion_0, motion_at_T, audio_feat
+
+    # Hoist the PROJECTED identity-band V-gather out of the DDPM hot
+    # loop: (sel_vm @ vm) @ wco is step-invariant (the memory V cache
+    # is built once per window), so precomputing it removes a dense
+    # (Rt, Mt) one-hot-gather matmul AND shrinks the (Rt, F) wco
+    # projection to the person rows — per layer per tile per step
+    # (~150 GFLOP/step at the batch-48 flagship shapes). Row-exact
+    # rewrite (disjoint supports, see _layer_compute); stored in the
+    # kernel matmul dtype (streamed per (tile, layer) like K/V;
+    # MSMD_VMW_F32=1 stores f32 at 2x the DMA). Built only HERE, after
+    # the mega/scan decisions: the batch-1 mega paths never read
+    # fused["vmw"] (the scan kernel hoists its own f32 copy above).
+    if (
+        fused is not None
+        and mega is None
+        and cfg.align_mask_width == 1
+        and os.environ.get("MSMD_VMW_HOIST", "1") != "0"
+    ):
+        from msmd_tpu.ops.pallas.decoder_kernel import build_vmw
+
+        vmw_dt = (
+            jnp.float32
+            if os.environ.get("MSMD_VMW_F32", "0") == "1"
+            else model.dtype
+        )
+        fused["vmw"] = build_vmw(
+            fused["cross_mask"][3], fused["vmem"], fused["pack"]["wco"],
+            Be // fused["tile_entries"], out_dtype=vmw_dt,
+        )
 
     def denoise_apply(motion_in, step_in):
         return model.apply(

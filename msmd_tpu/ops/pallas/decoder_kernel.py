@@ -155,22 +155,32 @@ def _softmax_fast(s, axis=-1):
     broadcast-subtract over the score elements per call). Safe iff the
     logits stay well below f32-exp overflow (~88); attention logits of
     LN-normalized q/k with 1/sqrt(dh) scaling sit far inside that range,
-    but this is NOT guaranteed for arbitrary trained weights — hence
-    opt-in (MSMD_FAST_SOFTMAX=1). exp(-1e30 mask) == 0 exactly, so
-    masking semantics are unchanged."""
+    but this is NOT guaranteed for arbitrary trained weights. Reached
+    only by MSMD_FAST_SOFTMAX=1 here; the production fast path (auto-on
+    for bf16 packs, with a fixed -20 shift) lives in _attn_pv.
+    exp(-1e30 mask) == 0 exactly, so masking semantics are unchanged."""
     e = jnp.exp(s)
     return e / jnp.sum(e, axis=axis, keepdims=True)
 
 
 def _softmax_dispatch(s, axis=-1):
-    import os
-
+    # NOTE: deliberately NOT _fast_softmax_active — this row-softmax
+    # fallback has no matmul-dtype context (cdt), so only an explicit
+    # "1" selects the no-max-subtraction form; "auto" stays safe here.
+    # The auto-on-bf16 fast path is the restructured one in _attn_pv.
     if os.environ.get("MSMD_FAST_SOFTMAX", "0") == "1":
         return _softmax_fast(s, axis=axis)
     return jax.nn.softmax(s, axis=axis)
 
 
 _softmax = _softmax_dispatch  # module-level indirection (probe ablation)
+
+
+def _fast_softmax_active(cdt):
+    """Trace-time: is the reduce-free fast softmax (see _attn_pv) the
+    selected implementation for matmul dtype ``cdt``?"""
+    impl = os.environ.get("MSMD_FAST_SOFTMAX", "auto")
+    return impl == "1" or (impl == "auto" and cdt == jnp.bfloat16)
 
 
 def _attn_pv(s, v, dot, cdt=None):
@@ -191,11 +201,7 @@ def _attn_pv(s, v, dot, cdt=None):
     the reference anyway); "1" forces fast, "0" forces the safe
     max-subtracting softmax (bit-comparable to jax.nn.softmax).
     """
-    import os
-
-    impl = os.environ.get("MSMD_FAST_SOFTMAX", "auto")
-    fast = impl == "1" or (impl == "auto" and cdt == jnp.bfloat16)
-    if fast and _softmax is _softmax_dispatch:
+    if _fast_softmax_active(cdt) and _softmax is _softmax_dispatch:
         e = jnp.exp(s - jnp.float32(20.0))
         o = dot(e, v)
         return o * jax.lax.reciprocal(jnp.sum(e, axis=-1, keepdims=True))
@@ -243,19 +249,10 @@ def _gelu(x, cdt=None):
     (BENCH.md r3: the erf rational poly costs a VPU divide + exp per
     element). "tanh"/"erf" force either implementation; erf matches
     torch / flax approximate=False to ~1e-7."""
-    import os
-
     impl = os.environ.get("MSMD_GELU", "auto")
     if impl == "tanh" or (impl == "auto" and cdt == jnp.bfloat16):
         return _gelu_tanh(x)
     return x * 0.5 * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
-
-
-def _fast_softmax_active(cdt):
-    """Trace-time: is the reduce-free fast softmax (see _attn_pv) the
-    selected implementation for matmul dtype ``cdt``?"""
-    impl = os.environ.get("MSMD_FAST_SOFTMAX", "auto")
-    return impl == "1" or (impl == "auto" and cdt == jnp.bfloat16)
 
 
 def _layer_compute(

@@ -58,6 +58,14 @@ class Trainer:
             n = len(devs)
             while n > 1 and cfg.batch_size % n != 0:
                 n -= 1
+            if n < len(devs):
+                print(
+                    f"[trainer] batch_size={cfg.batch_size} not divisible by "
+                    f"{len(devs)} devices: data-parallel over {n} device(s), "
+                    f"{len(devs) - n} idle — pick a divisible batch size to "
+                    f"use the whole machine",
+                    flush=True,
+                )
             self.mesh = make_mesh(("data",), devices=devs[:n])
         else:
             self.mesh = None

@@ -419,6 +419,7 @@ def test_scan_kernel_merged_heads_and_concat(monkeypatch):
     monkeypatch.setenv("MSMD_SCAN_PAD", "0")
     monkeypatch.setenv("MSMD_FAST_SOFTMAX", "1")
     np.testing.assert_allclose(run(), base, atol=5e-4, rtol=5e-4)
+    jax.clear_caches()  # don't leak knob-flipped traces to later tests
 
 
 def test_attention_middle_kernel_matches_einsum():
@@ -491,3 +492,7 @@ def test_fast_softmax_and_tanh_gelu_knobs(monkeypatch):
 
     monkeypatch.setenv("MSMD_FAST_SOFTMAX", "1")  # both together
     np.testing.assert_allclose(run(), want, atol=5e-3, rtol=5e-3)
+    # don't leak the tanh+fast trace: monkeypatch restores the env at
+    # teardown but the jit cache would keep serving the knob-flipped
+    # trace to later same-shape tests
+    jax.clear_caches()
