@@ -13,17 +13,34 @@ Reports ONE JSON line:
                motion per wall second, per chip)
   vs_baseline  ratio against the 50x-real-time target in BASELINE.json
                (the reference publishes no numbers of its own).
+  train_*      training-step throughput fields (BASELINE config 5),
+               measured in the same capture (MSMD_BENCH_TRAIN=0 skips).
+
+Outage hardening: the axon TPU tunnel is known to hang `jax.devices()`
+for hours (no error — the call simply never returns). The orchestrator
+in main() therefore NEVER touches the backend in-process: it probes the
+tunnel in a timeout-wrapped subprocess, retries with backoff inside a
+bounded wall-clock budget, runs the measurement itself in a
+timeout-wrapped subprocess (so a mid-run tunnel death cannot hang the
+capture either), and if the tunnel never comes back it emits a
+parse-able structured outage record (value 0, "error" field) and exits
+0 — the driver always gets a JSON line.
 
 Config via env: MSMD_BENCH_STEPS (default full 500), MSMD_BENCH_REPS
-(batched seeds, default 1), MSMD_BENCH_DTYPE (bfloat16|float32).
+(batched seeds, default 1), MSMD_BENCH_DTYPE (bfloat16|float32),
+MSMD_BENCH_PROBE_TIMEOUT / _WAIT_BUDGET / _RUN_TIMEOUT (outage knobs).
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 
-def main():
+def _measure():
+    """The actual measurement (runs with a live backend; may hang if the
+    tunnel dies mid-run — the orchestrator wraps it in a timeout)."""
     import jax
 
     # honor JAX_PLATFORMS even though the environment's sitecustomize
@@ -167,6 +184,168 @@ def main():
             }
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Outage-hardened orchestration (VERDICT r3 item 1)
+# --------------------------------------------------------------------------
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _last_json_line(text):
+    """The last stdout line that parses as a JSON object with a metric."""
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and "metric" in obj:
+            return obj
+    return None
+
+
+def _run_sub(cmd, timeout, extra_env=None):
+    """Run a subprocess with a hard timeout; returns (rc, stdout, stderr).
+
+    rc is None on timeout. The child is its own process group so a hung
+    backend thread inside it cannot outlive the kill."""
+    env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
+    try:
+        proc = subprocess.run(
+            cmd, cwd=_REPO, env=env, timeout=timeout,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            start_new_session=True,
+        )
+        return proc.returncode, proc.stdout, proc.stderr
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout or b""
+        err = e.stderr or b""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        if isinstance(err, bytes):
+            err = err.decode(errors="replace")
+        return None, out, err
+
+
+def _probe_tpu(timeout):
+    """True iff `jax.devices()` returns within `timeout` seconds in a
+    fresh subprocess (the tunnel-outage failure mode is an indefinite
+    hang, not an error)."""
+    code = (
+        "import jax\n"
+        "from msmd_tpu.platform import apply_platform_env\n"
+        "apply_platform_env()\n"
+        "print('DEVICES', len(jax.devices()))\n"
+    )
+    rc, out, _ = _run_sub([sys.executable, "-c", code], timeout)
+    return rc == 0 and "DEVICES" in out
+
+
+def _emit_outage(detail, waited_s):
+    print(
+        json.dumps(
+            {
+                "metric": "audio->FLAME vertices real-time factor (1 chip) — NOT MEASURED",
+                "value": 0.0,
+                "unit": "x_realtime",
+                "vs_baseline": 0.0,
+                "error": "tpu_unavailable",
+                "detail": detail,
+                "waited_s": round(waited_s, 1),
+            }
+        )
+    )
+
+
+def main():
+    if os.environ.get("MSMD_BENCH_INNER") == "1":
+        _measure()
+        return
+
+    # CPU smoke mode needs no tunnel: run in-process, no orchestration.
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        _measure()
+        return
+
+    probe_timeout = float(os.environ.get("MSMD_BENCH_PROBE_TIMEOUT", "120"))
+    wait_budget = float(os.environ.get("MSMD_BENCH_WAIT_BUDGET", "900"))
+    run_timeout = float(os.environ.get("MSMD_BENCH_RUN_TIMEOUT", "2700"))
+    run_retries = int(os.environ.get("MSMD_BENCH_RUN_RETRIES", "1"))
+    bench_train = os.environ.get("MSMD_BENCH_TRAIN", "1") == "1"
+
+    t_start = time.monotonic()
+
+    def budget_left():
+        return wait_budget - (time.monotonic() - t_start)
+
+    # 1) bounded probe loop: wait out a tunnel outage, don't hang on it
+    up = _probe_tpu(min(probe_timeout, max(budget_left(), 10.0)))
+    while not up and budget_left() > 0:
+        sys.stderr.write(
+            f"bench.py: TPU backend unresponsive; retrying "
+            f"({budget_left():.0f}s of wait budget left)\n"
+        )
+        time.sleep(min(60.0, max(budget_left(), 0.0)))
+        if budget_left() <= 0:
+            break
+        up = _probe_tpu(min(probe_timeout, max(budget_left(), 10.0)))
+    if not up:
+        _emit_outage(
+            "jax.devices() did not return within the probe timeout; the axon "
+            "TPU tunnel is in its known multi-hour outage mode (see KNOBS.md)",
+            time.monotonic() - t_start,
+        )
+        return
+
+    # 2) measurement in a timeout-wrapped subprocess (mid-run hang safe)
+    result, last_err = None, ""
+    for attempt in range(1 + run_retries):
+        rc, out, err = _run_sub(
+            [sys.executable, os.path.join(_REPO, "bench.py")],
+            run_timeout, extra_env={"MSMD_BENCH_INNER": "1"},
+        )
+        sys.stderr.write(err[-2000:])
+        result = _last_json_line(out)
+        if rc == 0 and result is not None:
+            break
+        last_err = f"rc={rc} " + (err.strip().splitlines()[-1] if err.strip() else "")
+        result = None
+        if attempt < run_retries and _probe_tpu(probe_timeout):
+            continue
+        break
+    if result is None:
+        _emit_outage(
+            f"measurement subprocess failed after {1 + run_retries} attempt(s): {last_err}",
+            time.monotonic() - t_start,
+        )
+        return
+
+    # 3) training-step throughput in the same capture (BASELINE config 5;
+    #    VERDICT r3 item 3) — failure here never zeroes the headline.
+    if bench_train:
+        rc, out, err = _run_sub(
+            [sys.executable, os.path.join(_REPO, "benchmarks", "bench_train.py")],
+            run_timeout,
+        )
+        train = _last_json_line(out) if rc == 0 else None
+        if train is not None:
+            result["train_steps_per_sec"] = train.get("value")
+            result["train_audio_seconds_per_sec"] = train.get("train_audio_seconds_per_sec")
+            result["train_step_wall_s"] = train.get("step_wall_s")
+            result["train_mfu_vs_197tflops"] = train.get("mfu_vs_197tflops")
+            result["train_metric"] = train.get("metric")
+        else:
+            result["train_error"] = (
+                f"rc={rc} " + (err.strip().splitlines()[-1] if (err or "").strip() else "")
+            )[:300]
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
