@@ -103,7 +103,12 @@ def build_torch_denoiser(cfg, motion_feat_dim=67):
         mask[i, max(0, i - (cfg.align_mask_width - 1)) : i + cfg.align_mask_width] = False
     m.register_buffer("alignment_mask", torch.cat([torch.zeros(1, motion_len, dtype=torch.bool), mask], dim=0))
 
-    def forward(motion, audio, person, style, prev_m, prev_a, step, indicator):
+    def _decompose(motion, audio, person, style, prev_m, prev_a, step, indicator):
+        """Shared denoiser chain up to the (dynamic, static, alphas)
+        decomposition (reference model.py:914-1003, use_head_alpha=False),
+        including the batch-mismatch tile guard (model.py:985-986) that
+        ``sample_separate`` relies on when ``style`` has fewer rows than
+        the CFG-stacked motion batch."""
         emb = m.diff_step_map(m.TE.pe[0, step]).unsqueeze(1)
         person_f = m.person_proj(person) + emb
         ind = torch.cat([torch.zeros(indicator.shape[0], cfg.n_prev_motions), indicator], dim=1).unsqueeze(-1)
@@ -120,13 +125,26 @@ def build_torch_denoiser(cfg, motion_feat_dim=67):
         for k in range(cfg.num_of_basis):
             s = m.static_feature_mapping[k](style)
             statics.append(torch.tile(s, (1, dec.shape[1], 1)).unsqueeze(2))
-        static = torch.cat(statics, dim=2)
+        static = torch.cat(statics, dim=2)  # (N_style, L, K, D)
+        if static.shape[0] != alphas.shape[0]:
+            # reference tile guard: only consistent when style has ONE
+            # row (B=1) — exactly the reference's usable envelope
+            static = torch.tile(static, (alphas.shape[0], 1, 1, 1))
+        return dynamic, static, alphas
+
+    def _combine(static, alphas):
         a = alphas.unsqueeze(-1)
         face = (static[..., :-3] * a).sum(2)
         pose = static[..., -3:].sum(2)
-        return dynamic + torch.cat([face, pose], dim=-1)
+        return torch.cat([face, pose], dim=-1)
+
+    def forward(motion, audio, person, style, prev_m, prev_a, step, indicator):
+        dynamic, static, alphas = _decompose(motion, audio, person, style, prev_m, prev_a, step, indicator)
+        return dynamic + _combine(static, alphas)
 
     m.run = forward
+    m.run_separate = _decompose
+    m.combine_static = _combine
     return m
 
 
@@ -225,10 +243,21 @@ def torch_sample(
     cfg_scale=1.15,
     flexibility: float = 0.0,
     dynamic_threshold=None,
+    guidance_indice=None,
+    guidance_values=None,
 ):
     """The reference MSMD.sample loop (model.py:282-440) verbatim in
     semantics: full CFG entry stack (no dead-entry elimination), the
-    sequential in-place guidance mix, per-step DDPM update."""
+    sequential in-place guidance mix, per-step DDPM update.
+
+    ``guidance_indice``/``guidance_values``: the naive inpainting write
+    of ``sample_with_guide`` (reference model.py:765-766) — the listed
+    motion rows of the denoiser INPUT are overwritten each step. NOTE:
+    the released reference's sample_with_guide also drops the style arg
+    from its denoiser call (model.py:770 passes 7 of 8 positional args),
+    which crashes at the step-embedding lookup; this oracle implements
+    the evident intent (same call as MSMD.sample plus the write), which
+    is what msmd_tpu.models.diffusion.sample_with_guide implements."""
     B, n_motions, D = motion_at_T.shape
     cfg_mode = cfg_mode or cfg.cfg_mode
     conds = [c for c in cfg.guiding_condition_list if c in ("audio", "style")]
@@ -271,6 +300,8 @@ def torch_sample(
         sigma = sched.get_sigmas(t, flexibility)
 
         motion_in = torch.cat([motion_at_t] * n_entries, dim=0)
+        if guidance_indice is not None:
+            motion_in[:, guidance_indice, :] = guidance_values
         step_in = torch.full((B * n_entries,), t, dtype=torch.long)
         results = m.denoising_net.run(motion_in, audio_in, person_in, style_in, prev_m_in, prev_a_in, step_in, ind_in)
 

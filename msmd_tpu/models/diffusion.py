@@ -510,11 +510,17 @@ def sample(
         # masked variant, which measured SLOWER than the XLA decoder
         # (BENCH.md r2) — disabling the mode should fall back to XLA, not
         # silently select the worse kernel. (env == "1" still forces.)
+        # MSMD_DECODER_PAD frees the sublane constraint (every entry's
+        # rows are padded to an 8-multiple in-kernel), so the auto-enable
+        # check must mirror the in-path tile-selection rule below — with
+        # padding on, ANY divisor tile is viable (ADVICE r3).
+        _pad = os.environ.get("MSMD_DECODER_PAD", "0") == "1"
         per_entry_viable = (
             cfg.align_mask_width == 1
             and os.environ.get("MSMD_PER_ENTRY_ATTN", "1") != "0"
             and any(
-                Be % d == 0 and (d * _lq) % 8 == 0 for d in range(1, _cap + 1)
+                Be % d == 0 and (_pad or (d * _lq) % 8 == 0)
+                for d in range(1, _cap + 1)
             )
         )
         fused_decoder = (
@@ -963,12 +969,17 @@ def sample_separate(
     dynamic_threshold: Optional[Tuple[float, float, float]] = None,
     alpha_t_modification=None,
     return_all_alpha: bool = False,
+    noise_override: Optional[jnp.ndarray] = None,
 ):
     """Style-basis introspection sampler (reference: model.py:442-651):
     like `sample` but the denoiser returns (dynamic, static, alpha)
     separately; alpha can be modified in-flight; returns the final
     dynamic part, the accumulated static contribution, and the guided
-    alpha trajectory."""
+    alpha trajectory.
+
+    ``noise_override``: optional (T, B, n_motions, D) per-step z used in
+    place of the internal PRNG draws (index 0 = the t=T step), enabling
+    bit-identical cross-framework parity runs like ``sample``'s."""
     cfg = model.cfg
     sched = DiffusionSchedule.create(cfg.n_diff_steps, cfg.diff_schedule)
     key, audio_feat, motion_at_T, stacks, (cfg_mode_n, cfg_cond_n, cfg_scale_n) = _prepare_sample_inputs(
@@ -990,10 +1001,14 @@ def sample_separate(
         pose = static[..., -3:].sum(axis=2)
         return jnp.concatenate([face, pose], axis=-1)
 
-    def body(carry, t):
+    def body(carry, t_z):
         motion_at_t, cum_static, k = carry
-        k, kz = jax.random.split(k)
-        z = jax.random.normal(kz, motion_at_t.shape, motion_at_t.dtype)
+        if noise_override is None:
+            t = t_z
+            k, kz = jax.random.split(k)
+            z = jax.random.normal(kz, motion_at_t.shape, motion_at_t.dtype)
+        else:
+            t, z = t_z
         z = jnp.where(t > 1, z, jnp.zeros_like(z))
 
         alpha = sched.alphas[t]
@@ -1034,8 +1049,9 @@ def sample_separate(
         return (motion_next, cum_static, k), (target_dynamic, target_alpha)
 
     ts = jnp.arange(sched.num_steps, 0, -1)
+    xs = ts if noise_override is None else (ts, noise_override.astype(motion_at_T.dtype))
     (motion_0, cum_static, _), (dyn_traj, alpha_traj) = jax.lax.scan(
-        body, (motion_at_T, jnp.zeros_like(motion_at_T), key), ts
+        body, (motion_at_T, jnp.zeros_like(motion_at_T), key), xs
     )
     final_dynamic = dyn_traj[-1]
     final_alpha = alpha_traj[-1]

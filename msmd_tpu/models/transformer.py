@@ -160,12 +160,22 @@ class MultiHeadAttention(nn.Module):
             qp, kp, vp = self._fused_qkv(q)
             import os as _os
 
+            _kernel_ok = False
             if (
                 mask is None
                 and deterministic
                 and self.softmax_dtype is None
                 and _os.environ.get("MSMD_ATTN_KERNEL", "0") == "1"
             ):
+                # shape guard (ADVICE r3): the knob is global, but the
+                # kernel is only viable/measured for 8-aligned row tiles
+                # and sublane-aligned head dims — e.g. the style/audio
+                # TransformerEncoderLayers also reach this branch with
+                # geometries far from the probed decoder shapes
+                from msmd_tpu.ops.pallas.attn_kernel import attn_middle_viable
+
+                _kernel_ok = attn_middle_viable(B, Lq, self.dim, self.n_heads)
+            if _kernel_ok:
                 # hybrid serving mode: XLA keeps the peak-MXU projections,
                 # the attention middle runs as a per-entry Pallas kernel so
                 # the (B, H, Lq, Lq) score tensors never touch HBM

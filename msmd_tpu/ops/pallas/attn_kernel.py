@@ -62,6 +62,28 @@ def _attn_mid_kernel(q_ref, k_ref, v_ref, out_ref, *, n_heads: int, entries: int
     out_ref[:] = jnp.concatenate(ent_out, axis=0).astype(out_ref.dtype)
 
 
+def _pick_tile(B: int, lq: int, cap: int = 8):
+    """Largest tile T <= cap with T | B and 8 | T*lq (the Mosaic sublane
+    constraint on the row-block height). None if no tile qualifies."""
+    for T in range(min(cap, B), 0, -1):
+        if B % T == 0 and (T * lq) % 8 == 0:
+            return T
+    return None
+
+
+def attn_middle_viable(B: int, lq: int, F: int, n_heads: int) -> bool:
+    """Trace-time guard for the MSMD_ATTN_KERNEL=1 hybrid path (ADVICE
+    r3): the kernel was probed at the decoder geometry only; shapes
+    whose rows cannot form an 8-aligned tile (or whose head dim is not
+    sublane-aligned) hit Mosaic tiling failures. Callers must fall back
+    to the XLA einsum path when this returns False."""
+    return (
+        F % n_heads == 0
+        and (F // n_heads) % 8 == 0
+        and _pick_tile(B, lq) is not None
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("n_heads", "tile_entries", "interpret"))
 def attention_middle(
     q: jnp.ndarray,  # (B, lq, F)
@@ -75,9 +97,16 @@ def attention_middle(
     input dtype. No masks: full bidirectional self-attention within each
     batch entry (batch isolation is structural)."""
     B, lq, F = q.shape
-    T = tile_entries
-    while B % T != 0:
-        T -= 1
+    if interpret:
+        # the CPU interpreter has no sublane constraint: any divisor tile
+        T = next(d for d in range(min(tile_entries, B), 0, -1) if B % d == 0)
+    else:
+        T = _pick_tile(B, lq, cap=tile_entries)
+        if T is None:
+            raise ValueError(
+                f"attention_middle: no 8-aligned row tile for B={B}, lq={lq} "
+                "(gate calls with attn_middle_viable)"
+            )
     n_tiles = B // T
     qf = q.reshape(B * lq, F)
     kf = k.reshape(B * lq, F)

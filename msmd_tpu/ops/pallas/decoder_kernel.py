@@ -150,16 +150,31 @@ def build_identity_band_aux(batch: int, lq: int, lm: int, dtype=jnp.bfloat16):
 # the kernel
 # ---------------------------------------------------------------------------
 
+_MASK_FLOOR = -1e29  # scores below this are structural masks (-1e30)
+
+
+def _clamp_unmasked(s, lo, hi):
+    """Clamp real logits into [lo, hi] while leaving masked scores
+    (-1e30) untouched so their exp stays exactly 0. Guards the
+    no-max-subtraction softmax forms against checkpoint-dependent
+    extremes: a row whose real logits all sit below the f32-exp
+    underflow point would otherwise produce a zero row-sum and a silent
+    inf/NaN from the reciprocal, and logits above ~88 would overflow.
+    With the clamp, an all-underflow row degrades gracefully to the
+    mathematically correct limit (uniform over unmasked entries).
+    Elementwise compare+select only — no reduce is reintroduced."""
+    return jnp.where(s > _MASK_FLOOR, jnp.clip(s, lo, hi), s)
+
+
 def _softmax_fast(s, axis=-1):
     """Softmax without the max-subtraction pass (saves one reduce +
-    broadcast-subtract over the score elements per call). Safe iff the
-    logits stay well below f32-exp overflow (~88); attention logits of
-    LN-normalized q/k with 1/sqrt(dh) scaling sit far inside that range,
-    but this is NOT guaranteed for arbitrary trained weights. Reached
-    only by MSMD_FAST_SOFTMAX=1 here; the production fast path (auto-on
-    for bf16 packs, with a fixed -20 shift) lives in _attn_pv.
-    exp(-1e30 mask) == 0 exactly, so masking semantics are unchanged."""
-    e = jnp.exp(s)
+    broadcast-subtract over the score elements per call). Real logits
+    are clamped to [-80, 60] (see _clamp_unmasked) so arbitrary trained
+    checkpoints can neither underflow a whole row to 0 nor overflow
+    f32 exp. Reached only by MSMD_FAST_SOFTMAX=1 here; the production
+    fast path (auto-on for bf16 packs, with a fixed -20 shift) lives in
+    _attn_pv. exp(-1e30 mask) == 0 exactly, so masking is unchanged."""
+    e = jnp.exp(_clamp_unmasked(s, -80.0, 60.0))
     return e / jnp.sum(e, axis=axis, keepdims=True)
 
 
@@ -190,10 +205,14 @@ def _attn_pv(s, v, dot, cdt=None):
     the divide moves from the (lq, lkv) score matrix to the (lq, dh)
     output (dh < lkv in every call site), and the data-dependent
     max-subtraction REDUCE pass is replaced by a fixed logit shift of
-    -20 (one broadcast-subtract, no reduce): exp(s - 20) overflows f32
-    only for logits > ~108 — unreachable for LN-normalized q/k under any
-    realistic trained weights — and the shift cancels exactly in the
-    normalization. Masked scores (-1e30) still map to exp -> 0.
+    -20 (one broadcast-subtract, no reduce), with real logits clamped
+    into a safe band (ADVICE r3): shifted logits below -80 would
+    underflow every exp in a row to 0 (reciprocal of the zero row-sum
+    -> silent inf/NaN) for checkpoints whose logits all sit below
+    ~-60, and logits above ~108 would overflow. _clamp_unmasked keeps
+    masked scores (-1e30) exp'ing to exactly 0 while clamped
+    all-underflow rows degrade to the correct uniform-attention limit.
+    The shift cancels exactly in the normalization.
     Measured +1.6x RTF at batch 48 on v5e (BENCH.md r3).
 
     MSMD_FAST_SOFTMAX: "auto" (default) = fast iff the matmul dtype is
@@ -202,7 +221,7 @@ def _attn_pv(s, v, dot, cdt=None):
     max-subtracting softmax (bit-comparable to jax.nn.softmax).
     """
     if _fast_softmax_active(cdt) and _softmax is _softmax_dispatch:
-        e = jnp.exp(s - jnp.float32(20.0))
+        e = jnp.exp(_clamp_unmasked(s - jnp.float32(20.0), -80.0, 60.0))
         o = dot(e, v)
         return o * jax.lax.reciprocal(jnp.sum(e, axis=-1, keepdims=True))
     p = _softmax(s, axis=-1)
@@ -336,7 +355,7 @@ def _layer_compute(
                 s = dot_t(q, kbd)  # (lq, H*lq): column block h = head h scores
                 if key_mask is not None:
                     s = s + jnp.tile(key_mask, (1, n_heads))
-                e_ = jnp.exp(s - jnp.float32(20.0))
+                e_ = jnp.exp(_clamp_unmasked(s - jnp.float32(20.0), -80.0, 60.0))
                 out_un = dot(e_, vbd)  # (lq, F): col block h = head h PV
                 denom = dot(e_, head_mask)  # (lq, F): per-block row sums, expanded
                 entries.append(out_un * jax.lax.reciprocal(denom))
@@ -391,7 +410,7 @@ def _layer_compute(
             qmask = ((rr // T_p) == (cc // dh)).astype(cdt)
             q_bd = jnp.concatenate([(qp * scale).astype(cdt)] * n_heads, 0) * qmask
             s = dot_t(q_bd, km) + jnp.tile(person_mask, (n_heads, 1))  # (H*T, Mt)
-            e_ = jnp.exp(s - jnp.float32(20.0))
+            e_ = jnp.exp(_clamp_unmasked(s - jnp.float32(20.0), -80.0, 60.0))
             pv = dot(e_, vm) * qmask.astype(jnp.float32)  # (H*T, F), head-h cols only
             out_n = pv * jax.lax.reciprocal(jnp.sum(e_, axis=-1, keepdims=True))
             person_out = out_n[:T_p]

@@ -66,28 +66,35 @@ def _gelu_grad(u):
     return Phi + u * phi
 
 
-# Test-only hook: the CPU interpreters stub out the TPU PRNG (interpret
-# mode raises; InterpretParams returns all-zero bits), so tests set this
-# to route mask bits through a deterministic iota-hash that a pure-jax
-# replica can reproduce exactly. Never set outside tests; the silicon
-# path always uses the hardware PRNG (statistics checked on-chip by
-# benchmarks/train_probe.py).
+# Deterministic-mask hook. The CPU interpreters stub out the TPU PRNG
+# (interpret mode raises; InterpretParams returns ALL-ZERO bits — which
+# would silently zero every keep mask and drop the whole FFN branch,
+# ADVICE r3), so interpret-mode dropout ALWAYS routes mask bits through
+# the iota-hash below: statistically meaningful on CPU and exactly
+# reproducible by a pure-jax replica in tests. Tests may also set
+# _TEST_DET_MASKS[0]=True to force the same bits on silicon; the
+# production TPU path (interpret=False, hook unset) always uses the
+# hardware PRNG (statistics checked on-chip by benchmarks/train_probe.py).
 _TEST_DET_MASKS = [False]
 
 
-def _det_bits(shape, salt):
+def _det_bits(shape, salt, offset=0):
+    """Iota-hash mask bits. ``offset`` folds the (traced) per-step seed
+    and tile index in so CPU-interpret training draws fresh masks every
+    step instead of one frozen pattern."""
     i0 = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     i1 = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    r = i0 * np.uint32(2654435761) + i1 * np.uint32(40503) + np.uint32(salt * 97)
+    r = i0 * np.uint32(2654435761) + i1 * np.uint32(40503) + np.uint32(salt * 97) + offset
     r = r * np.uint32(2246822519)
     return r ^ (r >> 13)
 
 
-def _keep_mask(shape, p, salt=0):
-    """Inverted-dropout keep mask/(1-p) from the in-kernel PRNG. Caller
-    must have seeded the PRNG; consumes one prng_random_bits call."""
-    if _TEST_DET_MASKS[0]:
-        bits = _det_bits(shape, salt)
+def _keep_mask(shape, p, salt=0, det=False, offset=0):
+    """Inverted-dropout keep mask/(1-p) from the in-kernel PRNG (or the
+    deterministic iota-hash when ``det``). Caller must have seeded the
+    PRNG on the non-det path; consumes one prng_random_bits call."""
+    if det or _TEST_DET_MASKS[0]:
+        bits = _det_bits(shape, salt, offset)
     else:
         bits = pltpu.prng_random_bits(shape)
         if bits.dtype != jnp.uint32:
@@ -97,7 +104,7 @@ def _keep_mask(shape, p, salt=0):
     return keep / np.float32(1.0 - p)
 
 
-def _ffn_train_fwd_kernel(seed_ref, x_ref, w1, b1, w2, b2, g, b, out_ref, *, p):
+def _ffn_train_fwd_kernel(seed_ref, x_ref, w1, b1, w2, b2, g, b, out_ref, *, p, det=False):
     i = pl.program_id(0)
     cdt = w1.dtype
     x = x_ref[:]
@@ -107,22 +114,28 @@ def _ffn_train_fwd_kernel(seed_ref, x_ref, w1, b1, w2, b2, g, b, out_ref, *, p):
             a.astype(cdt), w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
+    off = 0
     if p > 0.0:
-        pltpu.prng_seed(seed_ref[0], i)
+        if det or _TEST_DET_MASKS[0]:
+            off = seed_ref[0].astype(jnp.uint32) * np.uint32(2946901) + np.uint32(
+                83492791
+            ) * jnp.uint32(i)
+        else:
+            pltpu.prng_seed(seed_ref[0], i)
     u = dot(x, w1[:]) + b1[:].astype(jnp.float32)
     h = _gelu(u)
     if p > 0.0:
-        h = h * _keep_mask(h.shape, p, salt=1)
+        h = h * _keep_mask(h.shape, p, salt=1, det=det, offset=off)
     y = dot(h, w2[:]) + b2[:].astype(jnp.float32)
     if p > 0.0:
-        y = y * _keep_mask(y.shape, p, salt=2)
+        y = y * _keep_mask(y.shape, p, salt=2, det=det, offset=off)
     out = _layernorm(x.astype(jnp.float32) + y, g[:], b[:])
     out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _ffn_train_bwd_kernel(
     seed_ref, x_ref, gbar_ref, w1, b1, w2, b2, g, b,
-    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, db_ref, *, p,
+    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref, db_ref, *, p, det=False,
 ):
     i = pl.program_id(0)
     cdt = w1.dtype
@@ -146,19 +159,26 @@ def _ffn_train_bwd_kernel(
         )
 
     # ---- recompute the forward chain (identical masks: same seed+tile,
-    # same prng_random_bits call order as the forward kernel) ----------
+    # same prng_random_bits call order / det-hash offset as the forward
+    # kernel) -----------------------------------------------------------
+    off = 0
     if p > 0.0:
-        pltpu.prng_seed(seed_ref[0], i)
+        if det or _TEST_DET_MASKS[0]:
+            off = seed_ref[0].astype(jnp.uint32) * np.uint32(2946901) + np.uint32(
+                83492791
+            ) * jnp.uint32(i)
+        else:
+            pltpu.prng_seed(seed_ref[0], i)
     u = dot(x, w1[:]) + b1[:].astype(jnp.float32)
     gl = _gelu(u)
     if p > 0.0:
-        m1 = _keep_mask(gl.shape, p, salt=1)
+        m1 = _keep_mask(gl.shape, p, salt=1, det=det, offset=off)
         h = gl * m1
     else:
         h = gl
     y = dot(h, w2[:]) + b2[:].astype(jnp.float32)
     if p > 0.0:
-        m2 = _keep_mask(y.shape, p, salt=2)
+        m2 = _keep_mask(y.shape, p, salt=2, det=det, offset=off)
         y = y * m2
     r = x.astype(jnp.float32) + y
     F = r.shape[-1]
@@ -209,16 +229,18 @@ def _shapes(x, w1):
     return orig_shape, F, FFN, rows
 
 
-def _interp(interpret, p):
-    # the default CPU interpreter has no TPU PRNG primitives; use the
-    # TPU-semantics interpreter when dropout needs prng_seed/random_bits
-    if interpret and p > 0.0:
-        return pltpu.InterpretParams()
-    return interpret
+def _det(interpret, p):
+    # The CPU interpreters stub out the TPU PRNG (plain interpret mode
+    # raises on prng_seed; InterpretParams returns ALL-ZERO bits, which
+    # would zero every keep mask and silently drop the whole FFN branch
+    # — ADVICE r3). Interpret-mode dropout therefore always uses the
+    # deterministic seed+tile iota-hash masks instead: statistically
+    # meaningful on CPU, fresh per step, exactly replicable in tests.
+    return bool(interpret) and p > 0.0
 
 
 def _fwd_call(x, w1, b1, w2, b2, g, b, seed, p, interpret):
-    interpret = _interp(interpret, p)
+    det = _det(interpret, p)
     orig_shape, F, FFN, rows = _shapes(x, w1)
     xf = x.reshape(rows, F)
     tile = _pick_tile(rows)
@@ -237,7 +259,7 @@ def _fwd_call(x, w1, b1, w2, b2, g, b, seed, p, interpret):
         out_specs=pl.BlockSpec((tile, F), lambda i, s: (i, 0)),
     )
     out = pl.pallas_call(
-        functools.partial(_ffn_train_fwd_kernel, p=p),
+        functools.partial(_ffn_train_fwd_kernel, p=p, det=det),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rows, F), x.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
@@ -251,7 +273,7 @@ def _fwd_call(x, w1, b1, w2, b2, g, b, seed, p, interpret):
 
 
 def _bwd_call(x, gbar, w1, b1, w2, b2, g, b, seed, p, interpret):
-    interpret = _interp(interpret, p)
+    det = _det(interpret, p)
     orig_shape, F, FFN, rows = _shapes(x, w1)
     xf = x.reshape(rows, F)
     gf = gbar.reshape(rows, F)
@@ -280,7 +302,7 @@ def _bwd_call(x, gbar, w1, b1, w2, b2, g, b, seed, p, interpret):
         ],
     )
     outs = pl.pallas_call(
-        functools.partial(_ffn_train_bwd_kernel, p=p),
+        functools.partial(_ffn_train_bwd_kernel, p=p, det=det),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((rows, F), x.dtype),

@@ -496,3 +496,62 @@ def test_fast_softmax_and_tanh_gelu_knobs(monkeypatch):
     # teardown but the jit cache would keep serving the knob-flipped
     # trace to later same-shape tests
     jax.clear_caches()
+
+
+def test_fast_softmax_extreme_logits_guard(monkeypatch):
+    """ADVICE r3 (medium): the no-max-subtraction fast softmax must not
+    emit inf/NaN for checkpoint-dependent extreme logits. A row whose
+    real logits all sit below ~-83 underflowed every exp(s-20) to 0
+    (reciprocal of the zero row-sum -> inf); logits above ~108
+    overflowed. _clamp_unmasked degrades such rows to the correct
+    uniform / saturated limits while masked scores stay exactly 0."""
+    from msmd_tpu.ops.pallas.decoder_kernel import _attn_pv, _softmax_fast
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    v = jnp.asarray(np.random.RandomState(0).randn(6, 4), jnp.bfloat16)
+
+    # all-underflow row (< -83), mixed row, overflow row; one masked col
+    s = np.full((3, 6), -200.0, np.float32)
+    s[1] = [0.0, -1.0, 2.0, -3.0, 1.0, 0.5]
+    s[2] = [150.0, 140.0, 0.0, 0.0, 0.0, 0.0]
+    s[:, -1] = -1e30  # structural mask
+    s = jnp.asarray(s)
+
+    monkeypatch.setenv("MSMD_FAST_SOFTMAX", "auto")
+    out = np.asarray(_attn_pv(s, v, dot, jnp.bfloat16))
+    assert np.isfinite(out).all(), out
+
+    # the all-underflow row must be the uniform average of the UNMASKED
+    # value rows (the exact softmax limit for equal logits)
+    want_row0 = np.asarray(v[:-1], np.float32).mean(axis=0)
+    np.testing.assert_allclose(out[0], want_row0, atol=0.05)
+
+    # moderate logits are untouched by the clamp: matches safe softmax
+    p = jax.nn.softmax(s[1:2], axis=-1)
+    want_row1 = np.asarray(dot(p, v))
+    np.testing.assert_allclose(out[1], want_row1[0], atol=1e-2)
+
+    # explicit-1 row-softmax form is guarded too
+    monkeypatch.setenv("MSMD_FAST_SOFTMAX", "1")
+    p = np.asarray(_softmax_fast(s))
+    assert np.isfinite(p).all()
+    np.testing.assert_allclose(p.sum(axis=-1), 1.0, atol=1e-5)
+    assert p[:, -1].max() == 0.0  # masked column contributes nothing
+
+
+def test_attn_middle_viability_gate():
+    """ADVICE r3: MSMD_ATTN_KERNEL=1 must not reach attention_middle for
+    shapes whose rows cannot form an 8-aligned tile (Mosaic sublane
+    failures on silicon). The viability predicate admits the probed
+    decoder geometry and rejects unalignable ones."""
+    from msmd_tpu.ops.pallas.attn_kernel import attn_middle_viable
+
+    assert attn_middle_viable(96, 126, 512, 8)   # decoder geometry (tile 4)
+    assert attn_middle_viable(8, 111, 512, 8)    # odd lq, 8-divisible batch
+    assert not attn_middle_viable(3, 10, 512, 8)  # no 8-aligned tile exists
+    assert not attn_middle_viable(8, 111, 96, 8)  # head dim 12: not sublane-aligned

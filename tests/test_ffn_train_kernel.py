@@ -62,17 +62,21 @@ def test_p0_matches_reference_fwd_and_grad():
                                    err_msg=f"grad {name}")
 
 
-def _det_masks_np(T, FFN, F, p):
-    """numpy replica of ffn_train_kernel._det_bits -> keep masks."""
-    def bits(shape, salt):
-        i0 = np.arange(shape[0], dtype=np.uint32)[:, None] * np.uint32(2654435761)
-        i1 = np.arange(shape[1], dtype=np.uint32)[None, :] * np.uint32(40503)
-        r = (i0 + i1 + np.uint32(salt * 97)) * np.uint32(2246822519)
-        return r ^ (r >> np.uint32(13))
+def _det_masks_np(T, FFN, F, p, seed=0, tile_i=0):
+    """numpy replica of ffn_train_kernel._det_bits -> keep masks
+    (including the per-step seed/tile offset mixed into the hash)."""
+    with np.errstate(over="ignore"):
+        off = np.uint32(seed) * np.uint32(2946901) + np.uint32(tile_i) * np.uint32(83492791)
 
-    thr = np.uint32(int(p * 2.0**32))
-    m1 = (bits((T, FFN), 1) >= thr).astype(np.float32) / np.float32(1 - p)
-    m2 = (bits((T, F), 2) >= thr).astype(np.float32) / np.float32(1 - p)
+        def bits(shape, salt):
+            i0 = np.arange(shape[0], dtype=np.uint32)[:, None] * np.uint32(2654435761)
+            i1 = np.arange(shape[1], dtype=np.uint32)[None, :] * np.uint32(40503)
+            r = (i0 + i1 + np.uint32(salt * 97) + off) * np.uint32(2246822519)
+            return r ^ (r >> np.uint32(13))
+
+        thr = np.uint32(int(p * 2.0**32))
+        m1 = (bits((T, FFN), 1) >= thr).astype(np.float32) / np.float32(1 - p)
+        m2 = (bits((T, F), 2) >= thr).astype(np.float32) / np.float32(1 - p)
     return jnp.asarray(m1), jnp.asarray(m2)
 
 
@@ -88,7 +92,7 @@ def test_dropout_vjp_matches_masked_reference():
     x, w1, b1, w2, b2, g, b = _setup(T=16, F=16, FFN=32, seed=3)
     seed = jnp.int32(11)
     p = 0.3
-    m1, m2 = _det_masks_np(16, 32, 16, p)
+    m1, m2 = _det_masks_np(16, 32, 16, p, seed=11, tile_i=0)
     assert 0.5 < float((np.asarray(m1) > 0).mean()) < 0.9  # nondegenerate
 
     def pure(x, w1, b1, w2, b2, g, b):
@@ -124,9 +128,10 @@ def test_dropout_vjp_matches_masked_reference():
 def test_model_train_forward_with_fused_ffn_train():
     """cfg.fused_ffn_train wires through denoiser -> transformer ->
     kernel in the TRAINING (deterministic=False) path: forward and
-    grads are finite and params receive gradients. (On CPU the stubbed
-    interpret-mode PRNG makes masks degenerate; exact mask/grad math is
-    covered by the det-mask kernel tests above, statistics on-silicon.)"""
+    grads are finite and params receive gradients. (On CPU interpret
+    mode routes dropout through the deterministic seed-hash masks —
+    statistically meaningful, ADVICE r3; exact mask/grad math is covered
+    by the det-mask kernel tests above, PRNG statistics on-silicon.)"""
     from msmd_tpu.config import MSMDConfig
     from msmd_tpu.models.audio import AudioEncoderConfig
     from msmd_tpu.models.diffusion import MSMD, get_diffusion_model
@@ -222,3 +227,29 @@ def test_tanh_gelu_mode_fwd_and_grad_consistent(monkeypatch):
     for a, bb, name in zip(gk, gr, "x w1 b1 w2 b2 g b".split()):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-4, rtol=1e-3,
                                    err_msg=name)
+
+
+def test_interpret_dropout_not_degenerate():
+    """ADVICE r3: interpret-mode (CPU) dropout must NOT silently zero
+    the FFN branch (InterpretParams' stub PRNG returns all-zero bits ->
+    keep masks all 0). The kernel now routes interpret-mode masks
+    through the seed-hash: the FFN contribution survives, keep rates
+    are near 1-p, and fresh seeds give fresh masks."""
+    x, w1, b1, w2, b2, g, b = _setup(T=32, F=32, FFN=64, seed=4)
+    p = 0.4
+
+    # zero-FFN reference = LayerNorm(x): what the degenerate masks gave
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    ln_x = (x - mu) * jax.lax.rsqrt(var + 1e-5) * g + b
+
+    o1 = fused_ffn_ln_train(x, w1, b1, w2, b2, g, b, jnp.int32(1), p, True)
+    o2 = fused_ffn_ln_train(x, w1, b1, w2, b2, g, b, jnp.int32(2), p, True)
+    assert float(jnp.abs(o1 - ln_x).max()) > 1e-2  # FFN branch alive
+    assert float(jnp.abs(o1 - o2).max()) > 1e-4    # seed changes masks
+
+    # keep statistics near 1-p (via the replica masks for seed 1)
+    m1, m2 = _det_masks_np(32, 64, 32, p, seed=1, tile_i=0)
+    for m in (m1, m2):
+        keep = float((np.asarray(m) > 0).mean())
+        assert abs(keep - (1 - p)) < 0.12, keep
