@@ -165,16 +165,24 @@ class _SchedBuffers(nn.Module):
         return self.sigmas_flex[t] * flexibility + self.sigmas_inflex[t] * (1 - flexibility)
 
 
-def build_torch_msmd(cfg, hf_kwargs, motion_feat_dim=67):
+def build_torch_msmd(cfg, hf_kwargs, motion_feat_dim=67, audio_model="wav2vec2"):
     """The complete torch MSMD (reference model.py:73-143): HF wav2vec2
-    audio encoder with the 50 Hz-truncate + linear-resample head
-    (utils/wav2vec2.py:57-85), the 768->F feature map, CFG null/start
-    embeddings, the denoiser, and the diffusion schedule buffers.
-    State-dict names match ``flax_to_reference_msmd`` exactly."""
-    from transformers import Wav2Vec2Config, Wav2Vec2Model
-
+    or hubert audio encoder with the 50 Hz-truncate + linear-resample
+    head (utils/wav2vec2.py:57-85 / utils/hubert.py:9-51), the 768->F
+    feature map, CFG null/start embeddings, the denoiser, and the
+    diffusion schedule buffers. State-dict names match
+    ``flax_to_reference_msmd`` exactly. ``audio_model='hubert'`` builds
+    the HF HubertModel backbone (the reference's default,
+    training_script.py:467) for real-checkpoint parity runs."""
     m = nn.Module()
-    m.audio_encoder = Wav2Vec2Model(Wav2Vec2Config(**hf_kwargs))
+    if audio_model == "hubert":
+        from transformers import HubertConfig, HubertModel
+
+        m.audio_encoder = HubertModel(HubertConfig(**hf_kwargs))
+    else:
+        from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+        m.audio_encoder = Wav2Vec2Model(Wav2Vec2Config(**hf_kwargs))
     m.audio_feature_map = nn.Linear(hf_kwargs["hidden_size"], cfg.feature_dim)
     m.start_motion_feat = nn.Parameter(torch.zeros(1, cfg.n_prev_motions, motion_feat_dim))
     m.start_audio_feat = nn.Parameter(torch.zeros(1, cfg.n_prev_motions, cfg.feature_dim))
@@ -216,7 +224,10 @@ def build_torch_msmd(cfg, hf_kwargs, motion_feat_dim=67):
         feats = feats[:, :, :keep]
         feats = F.interpolate(feats, size=2 * frame_num, mode="linear", align_corners=False)
         feats = feats.transpose(1, 2)  # (B, 2L, C)
-        hidden, _ = enc.feature_projection(feats)
+        proj = enc.feature_projection(feats)
+        # wav2vec2's feature_projection returns (hidden, pre-norm feats);
+        # hubert's returns just hidden
+        hidden = proj[0] if isinstance(proj, tuple) else proj
         hidden = enc.encoder(hidden).last_hidden_state  # (B, 2L, 768)
         hidden = F.interpolate(
             hidden.transpose(1, 2), size=frame_num, mode="linear", align_corners=False
@@ -332,6 +343,131 @@ def torch_sample(
             c1 = (1.0 - alpha) * torch.sqrt(alpha_bar_prev) / (1.0 - alpha_bar)
             motion_at_t = c0 * motion_at_t + c1 * target_theta + sigma * z
     return motion_at_t
+
+
+@torch.no_grad()
+def torch_sample_separate(
+    m,
+    cfg,
+    audio_feat,  # (B, n_motions, F) — already extracted
+    shape_feat,  # (B, 1, 100)
+    style_feat,  # (B, 1, d_style)
+    motion_at_T,  # (B, n_motions, D)
+    z_seq,  # (T, B, n_motions, D) per-step noise, index 0 = step t=T
+    prev_motion_feat=None,
+    prev_audio_feat=None,
+    indicator=None,
+    cfg_mode=None,
+    cfg_scale=1.15,
+    flexibility: float = 0.0,
+    dynamic_threshold=None,
+    alpha_t_modification=None,
+    return_all_alpha=False,
+):
+    """The reference MSMD.sample_separate loop (model.py:442-651)
+    verbatim in semantics: the denoiser's (dynamic, static, alpha)
+    decomposition is recombined OUTSIDE the net (with an optional alpha
+    modification hook), every component is CFG-mixed with the same
+    in-place sequential rule as the motion target, and the c1-weighted
+    static contribution is accumulated across steps
+    (``cumulative_static_pose``, model.py:627-633). The denoiser receives
+    the UNSTACKED style rows for the static mapping (model.py:557 passes
+    ``style_feat``, not a CFG stack) and relies on the tile guard at
+    model.py:985-986 — only consistent at batch size 1, the reference's
+    usable envelope for this sampler."""
+    B, n_motions, D = motion_at_T.shape
+    cfg_mode = cfg_mode or cfg.cfg_mode
+    conds = [c for c in cfg.guiding_condition_list if c in ("audio", "style")]
+    conds = sorted(conds, key=["audio", "style"].index)
+    scales = list(cfg_scale) if isinstance(cfg_scale, (list, tuple)) else [cfg_scale] * len(conds)
+
+    if prev_motion_feat is None:
+        prev_motion_feat = m.start_motion_feat.expand(B, -1, -1)
+    if prev_audio_feat is None:
+        prev_audio_feat = m.start_audio_feat.expand(B, -1, -1)
+    if indicator is None:
+        indicator = torch.ones(B, n_motions)
+
+    null_audio = m.null_audio_feat.expand(B, n_motions, -1) if "audio" in conds else audio_feat
+    if "style" in conds:
+        person_null = torch.cat([shape_feat, m.null_style_feat.expand(B, -1, -1)], dim=-1)
+    else:
+        person_null = torch.cat([shape_feat, style_feat], dim=-1)
+    audio_in, person_in = [null_audio], [person_null]
+    for cond in conds:
+        if cond == "audio":
+            audio_in.append(audio_feat)
+            person_in.append(person_null)
+        else:
+            audio_in.append(null_audio if cfg_mode == "independent" else audio_feat)
+            person_in.append(torch.cat([shape_feat, style_feat], dim=-1))
+    n_entries = len(audio_in)
+    audio_in = torch.cat(audio_in, dim=0)
+    person_in = torch.cat(person_in, dim=0)
+    tile = lambda x: torch.cat([x] * n_entries, dim=0)
+    prev_m_in, prev_a_in, ind_in = tile(prev_motion_feat), tile(prev_audio_feat), tile(indicator)
+
+    sched = m.diffusion_sched
+    motion_at_t = motion_at_T.clone()
+    cumulative_static = torch.zeros_like(motion_at_T)
+    alpha_traj = []
+    target_dynamic = target_alpha = None
+    for i, t in enumerate(range(cfg.n_diff_steps, 0, -1)):
+        z = z_seq[i] if t > 1 else torch.zeros_like(motion_at_t)
+        alpha = sched.alphas[t]
+        alpha_bar = sched.alpha_bars[t]
+        alpha_bar_prev = sched.alpha_bars[t - 1]
+        sigma = sched.get_sigmas(t, flexibility)
+
+        motion_in = torch.cat([motion_at_t] * n_entries, dim=0)
+        step_in = torch.full((B * n_entries,), t, dtype=torch.long)
+        # model.py:557: style_feat is passed UNSTACKED (B rows)
+        dynamic, static, alpha_t = m.denoising_net.run_separate(
+            motion_in, audio_in, person_in, style_feat, prev_m_in, prev_a_in, step_in, ind_in,
+        )
+        if alpha_t_modification is not None:
+            alpha_t = alpha_t_modification(alpha_t)
+        static_sum = m.denoising_net.combine_static(static, alpha_t)  # model.py:569-574
+        results = dynamic + static_sum
+
+        if dynamic_threshold:
+            dt_ratio, dt_min, dt_max = dynamic_threshold
+            abs_results = results[:, -n_motions:].reshape(B * n_entries, -1).abs()
+            s = torch.quantile(abs_results, dt_ratio, dim=1)
+            s = torch.clamp(s, min=dt_min, max=dt_max)[..., None, None]
+            results = torch.clamp(results, min=-s, max=s)
+
+        results = list(results.chunk(n_entries))
+        static_c = list(static_sum.chunk(n_entries))
+        dynamic_c = list(dynamic.chunk(n_entries))
+        alpha_c = list(alpha_t.chunk(n_entries))
+
+        # in-place sequential CFG mix over every component (model.py:592-619)
+        target_theta = results[0][:, -n_motions:]
+        target_static = static_c[0][:, -n_motions:]
+        target_dynamic = dynamic_c[0][:, -n_motions:]
+        target_alpha = alpha_c[0][:, -n_motions:]
+        for j in range(n_entries - 1):
+            base = 0 if cfg_mode == "independent" else j
+            target_theta += scales[j] * (results[j + 1][:, -n_motions:] - results[base][:, -n_motions:])
+            target_dynamic += scales[j] * (dynamic_c[j + 1][:, -n_motions:] - dynamic_c[base][:, -n_motions:])
+            target_static += scales[j] * (static_c[j + 1][:, -n_motions:] - static_c[base][:, -n_motions:])
+            target_alpha += scales[j] * (alpha_c[j + 1][:, -n_motions:] - alpha_c[base][:, -n_motions:])
+
+        if cfg.target == "noise":
+            c0 = 1.0 / torch.sqrt(alpha)
+            c1 = (1.0 - alpha) / torch.sqrt(1.0 - alpha_bar)
+            motion_at_t = c0 * (motion_at_t - c1 * target_theta) + sigma * z
+        else:  # sample
+            c0 = (1.0 - alpha_bar_prev) * torch.sqrt(alpha) / (1.0 - alpha_bar)
+            c1 = (1.0 - alpha) * torch.sqrt(alpha_bar_prev) / (1.0 - alpha_bar)
+            motion_at_t = c0 * motion_at_t + c1 * target_theta + sigma * z
+        cumulative_static = cumulative_static + c1 * target_static
+        alpha_traj.append(target_alpha.clone())
+
+    alpha_traj = torch.cat(alpha_traj, dim=0)  # model.py:643 (cat on batch dim)
+    last_alpha = alpha_traj if return_all_alpha else target_alpha
+    return motion_at_t, target_dynamic, cumulative_static, last_alpha
 
 
 @torch.no_grad()

@@ -60,6 +60,15 @@ def x64():
     jax.config.update("jax_enable_x64", False)
 
 
+@pytest.fixture(autouse=True)
+def _restore_torch_default_dtype():
+    """_build_pair raises the torch default dtype to f64 for the oracle
+    construction; never leak that into other tests."""
+    prev = torch.get_default_dtype()
+    yield
+    torch.set_default_dtype(prev)
+
+
 def run_both(cfg, n_windows_f=2.5, seed=0, cfg_mode=None, f64=True):
     jdt = jnp.float64 if f64 else jnp.float32
     ndt = np.float64 if f64 else np.float32
@@ -151,3 +160,141 @@ def test_f32_divergence_is_chaos_not_bug(x64):
     # divergence between frameworks is within ~10x of torch's own
     # f32-vs-f64 divergence (both are float-chaos scale, >> 1e-6)
     assert cross < max(10.0 * self_chaos, 1e-4), (cross, self_chaos)
+
+
+def _build_pair(cfg, seed=0, f64=True):
+    """Weight-synced (jax model+variables, torch oracle) pair in f64.
+    The torch default dtype is raised DURING construction so the
+    oracle's sinusoidal tables are built in f64 (a post-hoc .double()
+    would keep their f32 rounding, inflating the parity band ~10x)."""
+    if f64:
+        torch.set_default_dtype(torch.float64)
+    jdt = jnp.float64 if f64 else jnp.float32
+    model = get_diffusion_model(cfg, audio_config=TINY_AUDIO, dtype=jdt, param_dtype=jdt)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(seed), "diffusion": jax.random.PRNGKey(1)},
+        jnp.zeros((1, cfg.n_motions, cfg.motion_feat_dim), jdt),
+        jnp.zeros((1, cfg.n_audio_samples), jdt),
+        jnp.zeros((1, 100), jdt), jnp.zeros((1, cfg.d_style), jdt), deterministic=True,
+    )
+    params = jax.device_get(variables["params"])
+    oracle = build_torch_msmd(cfg, hf_kwargs_from(TINY_AUDIO))
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in flax_to_reference_msmd(params, cfg).items()}
+    missing, unexpected = oracle.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    oracle = oracle.double() if f64 else oracle.float()
+    oracle.eval()
+    return model, variables, oracle
+
+
+def _sampler_inputs(cfg, seed=7, ndt=np.float64):
+    rs = np.random.RandomState(seed)
+    audio = (rs.randn(1, cfg.n_audio_samples) * 0.1).astype(ndt)
+    shape = (rs.randn(1, 100) * 0.1).astype(ndt)
+    style = rs.randn(1, cfg.d_style).astype(ndt)
+    motion_at_T = rs.randn(1, cfg.n_motions, cfg.motion_feat_dim).astype(ndt)
+    z_seq = rs.randn(cfg.n_diff_steps, 1, cfg.n_motions, cfg.motion_feat_dim).astype(ndt)
+    return audio, shape, style, motion_at_T, z_seq
+
+
+@pytest.mark.parametrize("cfg_mode", ["incremental", "independent"])
+def test_sample_separate_matches_torch_oracle_f64(x64, cfg_mode):
+    """VERDICT r3 item 5: the style-basis introspection sampler
+    (reference model.py:442-651) — dynamic/static/alpha decomposition,
+    external recombine, per-component CFG mix with the in-place aliasing
+    quirk, and the c1-weighted cumulative static pose — must match the
+    torch oracle in f64 with identical weights and noise."""
+    from msmd_tpu.interop.torch_oracle import torch_sample_separate
+    from msmd_tpu.models.diffusion import sample_separate
+
+    cfg = tiny_cfg(n_diff_steps=6)
+    model, variables, oracle = _build_pair(cfg)
+    audio, shape, style, motion_at_T, z_seq = _sampler_inputs(cfg)
+
+    motion_j, _, _, dyn_j, cum_j, alpha_j = sample_separate(
+        model, variables, jax.random.PRNGKey(5), jnp.asarray(audio), jnp.asarray(shape),
+        style_feat=jnp.asarray(style), motion_at_T=jnp.asarray(motion_at_T),
+        noise_override=jnp.asarray(z_seq), cfg_mode=cfg_mode,
+        dynamic_threshold=(0, 1, 4), return_all_alpha=True,
+    )
+
+    afeat_t = oracle.extract_audio_feature(torch.from_numpy(audio), cfg.n_motions)
+    motion_t, dyn_t, cum_t, alpha_t = torch_sample_separate(
+        oracle, cfg, afeat_t,
+        torch.from_numpy(shape)[:, None], torch.from_numpy(style)[:, None],
+        torch.from_numpy(motion_at_T), torch.from_numpy(z_seq),
+        cfg_mode=cfg_mode, dynamic_threshold=(0, 1, 4), return_all_alpha=True,
+    )
+
+    for ours, theirs, name in [
+        (motion_j, motion_t, "motion"),
+        (dyn_j, dyn_t, "final_dynamic"),
+        # cumulative_static SUMS a c1-weighted term over all T steps, so
+        # its bound is ~T x the per-step certified band
+        (cum_j, cum_t, "cumulative_static"),
+        (np.asarray(alpha_j).reshape(-1, cfg.n_motions, cfg.num_of_basis), alpha_t, "alpha_traj"),
+    ]:
+        ours = np.asarray(ours).reshape(np.asarray(theirs.numpy()).shape)
+        err = float(np.abs(ours - theirs.numpy()).max())
+        bound = 1e-6 if name == "cumulative_static" else 1e-7
+        assert err < bound, f"{name} ({cfg_mode}): max err {err:.3e}"  # certified f64 band (PARITY_CERT.md)
+
+
+def test_sample_separate_alpha_modification_matches(x64):
+    """The alpha_t_modification hook (reference model.py:560-561) is
+    applied before the external recombine in both frameworks."""
+    from msmd_tpu.interop.torch_oracle import torch_sample_separate
+    from msmd_tpu.models.diffusion import sample_separate
+
+    cfg = tiny_cfg(n_diff_steps=3)
+    model, variables, oracle = _build_pair(cfg)
+    audio, shape, style, motion_at_T, z_seq = _sampler_inputs(cfg, seed=9)
+
+    motion_j, _, _, dyn_j, cum_j, alpha_j = sample_separate(
+        model, variables, jax.random.PRNGKey(5), jnp.asarray(audio), jnp.asarray(shape),
+        style_feat=jnp.asarray(style), motion_at_T=jnp.asarray(motion_at_T),
+        noise_override=jnp.asarray(z_seq),
+        alpha_t_modification=lambda a: jnp.tanh(a) * 0.5,
+    )
+    afeat_t = oracle.extract_audio_feature(torch.from_numpy(audio), cfg.n_motions)
+    motion_t, dyn_t, cum_t, alpha_t = torch_sample_separate(
+        oracle, cfg, afeat_t,
+        torch.from_numpy(shape)[:, None], torch.from_numpy(style)[:, None],
+        torch.from_numpy(motion_at_T), torch.from_numpy(z_seq),
+        alpha_t_modification=lambda a: torch.tanh(a) * 0.5,
+    )
+    assert float(np.abs(np.asarray(motion_j) - motion_t.numpy()).max()) < 1e-7
+    assert float(np.abs(np.asarray(cum_j) - cum_t.numpy()).max()) < 1e-7
+    assert float(np.abs(np.asarray(alpha_j) - alpha_t.numpy()).max()) < 1e-7
+
+
+@pytest.mark.parametrize("cfg_mode", ["incremental", "independent"])
+def test_sample_with_guide_matches_torch_oracle_f64(x64, cfg_mode):
+    """VERDICT r3 item 5: naive inpainting guidance (reference
+    model.py:653-818; write at :765-766) — guided motion rows are
+    overwritten in the denoiser INPUT each step while the DDPM update
+    still integrates the un-inpainted state."""
+    from msmd_tpu.interop.torch_oracle import torch_sample
+    from msmd_tpu.models.diffusion import sample_with_guide
+
+    cfg = tiny_cfg(n_diff_steps=6)
+    model, variables, oracle = _build_pair(cfg)
+    audio, shape, style, motion_at_T, z_seq = _sampler_inputs(cfg, seed=3)
+    gi = np.array([0, 2, 5])
+    gv = np.random.RandomState(4).randn(len(gi), cfg.motion_feat_dim)
+
+    motion_j, _, _ = sample_with_guide(
+        model, variables, jax.random.PRNGKey(5), jnp.asarray(audio), jnp.asarray(shape),
+        style_feat=jnp.asarray(style), motion_at_T=jnp.asarray(motion_at_T),
+        noise_override=jnp.asarray(z_seq), cfg_mode=cfg_mode,
+        guidance_indice=jnp.asarray(gi), guidance_values=jnp.asarray(gv),
+    )
+    afeat_t = oracle.extract_audio_feature(torch.from_numpy(audio), cfg.n_motions)
+    motion_t = torch_sample(
+        oracle, cfg, afeat_t,
+        torch.from_numpy(shape)[:, None], torch.from_numpy(style)[:, None],
+        torch.from_numpy(motion_at_T), torch.from_numpy(z_seq), cfg_mode=cfg_mode,
+        guidance_indice=torch.from_numpy(gi), guidance_values=torch.from_numpy(gv),
+    )
+    err = float(np.abs(np.asarray(motion_j) - motion_t.numpy()).max())
+    assert err < 1e-7, f"guided sampler mismatch ({cfg_mode}): {err:.3e}"  # certified f64 band

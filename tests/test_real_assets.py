@@ -13,6 +13,9 @@ point ``MSMD_ASSETS`` at a directory laid out as
       hf/<model dir or name>             # HF hubert-base-ls960 snapshot
       reference_ckpt/args.json           # a real MSMD experiment dir
       reference_ckpt/checkpoints/iter_*.pt
+      step6/test.pkl                     # Step-6 test-split chunked pickle
+      step6/stats.pkl                    # exp/pose mean-std (datasets.py:346-350)
+      step6/keys_test.txt                # optional key restriction
 
 and these tests extend the parity certificate to the real artifacts
 with zero new code. Each test SKIPS (visibly, naming the missing path)
@@ -29,12 +32,20 @@ import pytest
 ASSETS = os.environ.get("MSMD_ASSETS", "")
 
 
+_PARITY_CMD = (
+    "once the assets exist, get the BASELINE vertex-MSE parity number with ONE command: "
+    "python scripts/real_asset_parity.py --reference_exp_dir $MSMD_ASSETS/reference_ckpt "
+    "--step6_pkl <test.pkl> --keys <keys_test.txt> --coef_stats <stats.pkl> "
+    "--flame_model_path $MSMD_ASSETS/flame/generic_model.pkl"
+)
+
+
 def _need(relpath: str) -> Path:
     if not ASSETS:
-        pytest.skip("MSMD_ASSETS not set (real licensed assets not in this image)")
+        pytest.skip(f"MSMD_ASSETS not set (real licensed assets not in this image); {_PARITY_CMD}")
     p = Path(ASSETS) / relpath
     if not p.exists():
-        pytest.skip(f"real asset missing: {p}")
+        pytest.skip(f"real asset missing: {p}; {_PARITY_CMD}")
     return p
 
 
@@ -108,3 +119,31 @@ def test_real_reference_checkpoint_roundtrip():
     for k, v in back.items():
         np.testing.assert_allclose(np.asarray(v), np.asarray(model_sd[k]),
                                    atol=1e-6, err_msg=k)
+
+
+def test_real_asset_parity_command():
+    """The documented one-command parity run (scripts/real_asset_parity.py)
+    against a real experiment dir + Step-6 test pkls. This is the
+    BASELINE.json fidelity metric on real artifacts."""
+    import json
+    import subprocess
+    import sys
+
+    exp_dir = _need("reference_ckpt")
+    pkl = _need("step6/test.pkl")
+    stats = _need("step6/stats.pkl")
+    keys = Path(ASSETS) / "step6" / "keys_test.txt"
+    flame = Path(ASSETS) / "flame" / "generic_model.pkl"
+    cmd = [
+        sys.executable, str(Path(__file__).parent.parent / "scripts" / "real_asset_parity.py"),
+        "--reference_exp_dir", str(exp_dir), "--step6_pkl", str(pkl),
+        "--coef_stats", str(stats), "--n_clips", "2", "--n_diff_steps", "8",
+    ]
+    if keys.exists():
+        cmd += ["--keys", str(keys)]
+    if flame.exists():
+        cmd += ["--flame_model_path", str(flame)]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert report["aggregate"]["coef_max_err"] < 1e-6, report["aggregate"]
