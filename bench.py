@@ -15,6 +15,9 @@ Reports ONE JSON line:
                (the reference publishes no numbers of its own).
   train_*      training-step throughput fields (BASELINE config 5),
                measured in the same capture (MSMD_BENCH_TRAIN=0 skips).
+  parity_f64_* cross-framework f64 semantic-parity figures from the
+               full-pipeline CPU selftest (scripts/real_asset_parity.py;
+               MSMD_BENCH_PARITY=0 skips).
 
 Outage hardening: the axon TPU tunnel is known to hang `jax.devices()`
 for hours (no error — the call simply never returns). The orchestrator
@@ -326,7 +329,31 @@ def main():
         )
         return
 
-    # 3) training-step throughput in the same capture (BASELINE config 5;
+    # 3) f64 semantic-parity figure in the same capture (BASELINE.json
+    #    lists vertex-MSE parity among the metrics): the full-pipeline
+    #    cross-framework selftest (scripts/real_asset_parity.py) runs on
+    #    CPU in a few minutes; failure or MSMD_BENCH_PARITY=0 just omits
+    #    the fields.
+    if os.environ.get("MSMD_BENCH_PARITY", "1") == "1":
+        rc, out, err = _run_sub(
+            [sys.executable, os.path.join(_REPO, "scripts", "real_asset_parity.py"),
+             "--selftest", "--synthetic_flame"],
+            float(os.environ.get("MSMD_BENCH_PARITY_TIMEOUT", "900")),
+        )
+        try:
+            report = json.loads(out[out.index("{"):]) if rc == 0 and "{" in out else None
+        except ValueError:
+            report = None
+        if report is not None:
+            result["parity_f64_coef_max_err"] = report["aggregate"]["coef_max_err"]
+            if "vertex_mse" in report["aggregate"]:
+                result["parity_f64_vertex_mse"] = report["aggregate"]["vertex_mse"]
+        else:
+            result["parity_error"] = (
+                f"rc={rc} " + (err.strip().splitlines()[-1] if (err or "").strip() else "")
+            )[:300]
+
+    # 4) training-step throughput in the same capture (BASELINE config 5;
     #    VERDICT r3 item 3) — failure here never zeroes the headline.
     if bench_train:
         rc, out, err = _run_sub(
