@@ -34,8 +34,9 @@ BI="python bench.py"          # inner mode for sweeps (no probe, no train)
 LP="python benchmarks/latency_probe.py"
 BT="python benchmarks/bench_train.py"
 
-# ---- A: driver-headline recapture (incl. training fields) -------------
-run headline_default 3600 MSMD_BENCH_TRAIN=1 $B
+# ---- A: driver-headline recapture (incl. training + parity fields;
+#         bench's own inner timeouts sum to ~75 min worst case) ---------
+run headline_default 5400 MSMD_BENCH_TRAIN=1 $B
 
 # ---- B: batch-1 scan-kernel knob sweep (target: >=50x) ----------------
 S1="MSMD_BENCH_INNER=1 MSMD_BENCH_TRAIN=0 MSMD_BENCH_REPS=1"
