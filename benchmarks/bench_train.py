@@ -45,10 +45,11 @@ def main():
     fused_ffn_train = os.environ.get("MSMD_TRAIN_FUSED_FFN", "0") == "1"
     remat = os.environ.get("MSMD_TRAIN_REMAT", "0") == "1"
     band_train = os.environ.get("MSMD_TRAIN_IDENTITY_BAND", "0") == "1"
+    two_clip = os.environ.get("MSMD_TRAIN_TWO_CLIP", "0") == "1"
 
     cfg = MSMDConfig(batch_size=batch, compute_dtype=dtype,
                      fused_ffn_train=fused_ffn_train, remat_denoiser=remat,
-                     identity_band_train=band_train)
+                     identity_band_train=band_train, two_clip_batch=two_clip)
     model = get_diffusion_model(cfg, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
     style_enc = get_style_encoder(cfg, "vae2")
     state, tx = create_train_state(cfg, jax.random.PRNGKey(0), model, style_enc)
@@ -102,7 +103,8 @@ def main():
                 "metric": f"MSMD train step (batch {batch}, {dtype}, {mesh.devices.size} chip(s))"
                 + (", fused_ffn_train" if fused_ffn_train else "")
                 + (", identity_band_train" if band_train else "")
-                + (", remat" if remat else ""),
+                + (", remat" if remat else "")
+                + (", two_clip_batch" if two_clip else ""),
                 "value": round(1.0 / dt, 3),
                 "unit": "steps/sec",
                 "train_audio_seconds_per_sec": round(audio_seconds_per_step / dt, 1),

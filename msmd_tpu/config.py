@@ -104,6 +104,13 @@ class MSMDConfig:
     # recompute activations in the backward pass; for batch > 64 where
     # activation memory dominates
     remat_denoiser: bool = False
+    # TPU extra (opt-in): run both training clips as ONE 2B-row batch
+    # through the style encoder, audio encoder and denoiser. Clip 1's
+    # carry depends only on clip 0's AUDIO features (reference:
+    # training_script.py:148-158), never its denoiser output, so the two
+    # forwards batch cleanly. Statistically (not bitwise) equivalent to
+    # the sequential path: RNG draw order changes.
+    two_clip_batch: bool = False
     log_smooth_win: int = 50
     continue_from: Optional[str] = None
 

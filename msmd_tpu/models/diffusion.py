@@ -140,6 +140,7 @@ class MSMD(nn.Module):
         train_with_cfg: bool = True,
         keep_separate: bool = False,
         deterministic: bool = False,
+        noise: Optional[jnp.ndarray] = None,
     ):
         cfg = self.cfg
         batch_size = motion_feat.shape[0]
@@ -214,7 +215,11 @@ class MSMD(nn.Module):
         alpha_bar = self.schedule.alpha_bars[time_step]
         c0 = jnp.sqrt(alpha_bar)[:, None, None]
         c1 = jnp.sqrt(1.0 - alpha_bar)[:, None, None]
-        eps = jax.random.normal(self.make_rng("diffusion"), motion_feat.shape, motion_feat.dtype)
+        # noise override: deterministic q-sample for equivalence tests and
+        # RNG-replay harnesses (mirrors the samplers' motion_at_T hook)
+        eps = noise if noise is not None else jax.random.normal(
+            self.make_rng("diffusion"), motion_feat.shape, motion_feat.dtype
+        )
         motion_feat_noisy = c0 * motion_feat + c1 * eps
 
         if keep_separate:

@@ -138,9 +138,19 @@ def two_clip_loss(
     do_ignore_style: bool = False,
     eval_always_cross_style: bool = False,
     coef_stats: Optional[Dict[str, jnp.ndarray]] = None,
+    noise_pair: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ):
     """Returns (total_loss, per-term dict). Mirrors the two-clip loop of
-    train() (training_script.py:109-196) / test() (:270-340)."""
+    train() (training_script.py:109-196) / test() (:270-340).
+
+    ``noise_pair`` optionally fixes the per-clip q-sample noise (testing /
+    RNG-replay hook). With ``cfg.two_clip_batch`` both clips run as one
+    2B-row forward (see :func:`_two_clip_loss_batched`)."""
+    if getattr(cfg, "two_clip_batch", False):
+        return _two_clip_loss_batched(
+            cfg, model, style_enc, params, batch, key, flame, train,
+            do_ignore_style, eval_always_cross_style, coef_stats, noise_pair,
+        )
     weights = load_loss_weights(cfg)
     deterministic = not train
     mvars = {"params": params["model"]}
@@ -212,6 +222,8 @@ def two_clip_loss(
             rngs["spec_augment"] = nk()
 
         fwd_kw = dict(indicator=indicator, train_with_cfg=use_cfg, deterministic=deterministic)
+        if noise_pair is not None:
+            fwd_kw["noise"] = noise_pair[i]
         if i == 0:
             eps, target, motion_det, audio_feat_det = model.apply(
                 mvars, motion_in, audio_in, input_shape, style, rngs=rngs, **fwd_kw
@@ -253,6 +265,180 @@ def two_clip_loss(
         loss_dict = dict(loss_dict)
         loss_dict["kl_div"] = compute_kl_loss(mu_pair[i], logvar_pair[i])
 
+        for k, v in loss_dict.items():
+            if k in weights and weights[k] > 0:
+                losses[k] = losses[k] + v
+
+    total = sum(losses[k] * weights[k] for k in losses if weights[k] > 0)
+    metrics = {k: v for k, v in losses.items() if weights[k] > 0}
+    metrics["loss"] = total
+    return total, metrics
+
+
+def _two_clip_loss_batched(
+    cfg: MSMDConfig,
+    model: MSMD,
+    style_enc,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    flame=None,
+    train: bool = True,
+    do_ignore_style: bool = False,
+    eval_always_cross_style: bool = False,
+    coef_stats: Optional[Dict[str, jnp.ndarray]] = None,
+    noise_pair: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+):
+    """The two-clip loss as ONE 2B-row forward (``cfg.two_clip_batch``).
+
+    Same loss function as the sequential path in :func:`two_clip_loss`
+    (exact equivalence proven in tests/test_two_clip_batch.py), but the
+    style encoder, the audio encoder and the denoiser each run once on
+    both clips stacked along batch. This is legal because clip 1's
+    prev-window carry uses clip 0's AUDIO features only (reference:
+    training_script.py:148-158) — never clip 0's denoiser output — so
+    the two forwards have no model dependency. Clip 0's learned start
+    features (model.py:57-62 start_motion/audio_feat) are materialized
+    explicitly for the first B rows; gradients flow to them through the
+    params tree exactly as through the in-module broadcast.
+
+    RNG draw ORDER differs from the sequential path (one (2B,...) draw
+    replaces two (B,...) draws per stochastic site), so the stochastic
+    augmentations are statistically — not bitwise — equivalent.
+    """
+    weights = load_loss_weights(cfg)
+    deterministic = not train
+    mvars = {"params": params["model"]}
+    svars = {"params": params["style_enc"]}
+    B = batch["motion_0"].shape[0]
+    n_prev = cfg.n_prev_motions
+
+    keys = jax.random.split(key, 16)
+    kidx = iter(range(16))
+    nk = lambda: keys[next(kidx)]
+
+    # ---- style extraction: both windows, one 2B-row pass --------------
+    motions = [batch["motion_0"], batch["motion_1"]]
+    motion_cat = jnp.concatenate(motions, axis=0)
+    style_in = jnp.zeros_like(motion_cat) if do_ignore_style else motion_cat
+    style_cat, mu_cat, logvar_cat = style_enc.apply(
+        svars, style_in, deterministic=deterministic,
+        rngs={"style": nk(), "dropout": nk()},
+    )
+    style_pair = [style_cat[:B], style_cat[B:]]
+    mu_pair = [mu_cat[:B], mu_cat[B:]]
+    logvar_pair = [logvar_cat[:B], logvar_cat[B:]]
+
+    shape_coef = batch["shape_0"][:, 0]
+    input_shape = jnp.zeros_like(shape_coef) if cfg.do_ignore_shape else shape_coef
+    use_cfg = not cfg.do_ignore_cfg
+
+    # ---- per-clip input prep (cheap elementwise work, order-preserving)
+    styles, audio_ins, motion_ins, end_idxs, do_truncs = [], [], [], [], []
+    for i in range(2):
+        style = style_pair[i]
+        if cfg.use_cross_style:
+            if train:
+                swap = jax.random.bernoulli(nk(), cfg.prob_cross_style)
+                style = jnp.where(swap, style_pair[1 - i], style)
+            elif eval_always_cross_style:
+                style = style_pair[1 - i]
+        styles.append(style)
+
+        audio, motion = batch[f"audio_{i}"], motions[i]
+        if train:
+            trunc_prob = cfg.trunc_prob1 if i == 0 else cfg.trunc_prob2
+            audio_t, motion_t, end_rand = truncate_motion_coef_and_audio(
+                nk(), audio, motion, cfg.n_motions, cfg.audio_unit, cfg.pad_mode, expression_code_size=64
+            )
+            do_trunc = jax.random.bernoulli(nk(), trunc_prob)
+            audio_ins.append(jnp.where(do_trunc, audio_t, audio))
+            motion_ins.append(jnp.where(do_trunc, motion_t, motion))
+            end_idxs.append(jnp.where(do_trunc, end_rand, jnp.full_like(end_rand, cfg.n_motions)))
+            do_truncs.append(do_trunc)
+        else:
+            audio_ins.append(audio)
+            motion_ins.append(motion)
+            end_idxs.append(jnp.full((B,), cfg.n_motions, jnp.int32))
+            do_truncs.append(jnp.zeros((), bool))
+
+    # ---- audio features: both clips, one 2B-row encoder pass ----------
+    feat_rngs = {"dropout": nk(), "spec_augment": nk()} if train else {}
+    audio_feat_cat = model.apply(
+        mvars, jnp.concatenate(audio_ins, axis=0),
+        deterministic=deterministic, rngs=feat_rngs, method=MSMD.extract_audio_feature,
+    )
+
+    # ---- clip-1 carry (training_script.py:148-158): FULL-window last
+    # n_prev frames; audio features re-extracted (no-grad) from the
+    # untruncated audio only when clip 0 was truncated ------------------
+    prev_motion = jax.lax.stop_gradient(batch["motion_0"][:, -n_prev:])
+    feat0 = jax.lax.stop_gradient(audio_feat_cat[:B])
+    if train:
+        full_audio_feat = jax.lax.cond(
+            do_truncs[0],
+            lambda a: jax.lax.stop_gradient(
+                model.apply(mvars, a, method=MSMD.extract_audio_feature, deterministic=True)
+            ),
+            lambda a: feat0,
+            batch["audio_0"],
+        )
+    else:
+        full_audio_feat = feat0
+    prev_audio = full_audio_feat[:, -n_prev:]
+
+    # clip 0 rows get the learned start features (model.py:164-169's
+    # in-module default, materialized from the params tree)
+    start_m = jnp.broadcast_to(
+        params["model"]["start_motion_feat"], (B,) + params["model"]["start_motion_feat"].shape[1:]
+    )
+    start_a = jnp.broadcast_to(
+        params["model"]["start_audio_feat"], (B,) + params["model"]["start_audio_feat"].shape[1:]
+    )
+    prev_motion_cat = jnp.concatenate([start_m, prev_motion], axis=0)
+    prev_audio_cat = jnp.concatenate([start_a, prev_audio], axis=0)
+
+    indicator_cat = None
+    if cfg.use_indicator:
+        end_cat = jnp.concatenate(end_idxs, axis=0)
+        indicator_cat = (jnp.arange(cfg.n_motions)[None, :] < end_cat[:, None]).astype(jnp.float32)
+
+    # ---- the single 2B-row denoiser forward ----------------------------
+    rngs = {"diffusion": nk()}
+    if train:
+        rngs["dropout"] = nk()
+    fwd_kw = dict(
+        indicator=indicator_cat, train_with_cfg=use_cfg, deterministic=deterministic,
+        prev_motion_feat=prev_motion_cat, prev_audio_feat=prev_audio_cat,
+    )
+    if noise_pair is not None:
+        fwd_kw["noise"] = jnp.concatenate(list(noise_pair), axis=0)
+    eps_cat, target_cat, _, _ = model.apply(
+        mvars,
+        jnp.concatenate(motion_ins, axis=0),
+        audio_feat_cat,
+        jnp.concatenate([input_shape, input_shape], axis=0),
+        jnp.concatenate(styles, axis=0),
+        rngs=rngs,
+        **fwd_kw,
+    )
+
+    # ---- per-clip losses on the split halves ---------------------------
+    losses = {k: jnp.zeros(()) for k in list(weights.keys())}
+    is_hdtf = cfg.dataset_type[:9] == "HDTF_TFHP" or cfg.dataset_type == "flame_mead_ravdess"
+    for i in range(2):
+        eps_i = eps_cat[i * B : (i + 1) * B]
+        target_i = target_cat[i * B : (i + 1) * B]
+        if cfg.use_vertex_space and is_hdtf:
+            loss_dict = compute_loss(
+                cfg, i == 0, shape_coef, motion_ins[i], eps_i, target_i, prev_motion, coef_stats, flame, end_idxs[i]
+            )
+        else:
+            loss_dict = compute_loss_no_vert(
+                cfg, i == 0, shape_coef, motion_ins[i], eps_i, target_i, prev_motion, None, None, end_idxs[i]
+            )
+        loss_dict = dict(loss_dict)
+        loss_dict["kl_div"] = compute_kl_loss(mu_pair[i], logvar_pair[i])
         for k, v in loss_dict.items():
             if k in weights and weights[k] > 0:
                 losses[k] = losses[k] + v

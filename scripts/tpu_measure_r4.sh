@@ -53,6 +53,10 @@ run train_fused_ffn   2400 MSMD_TRAIN_FUSED_FFN=1 $BT
 run train_band        2400 MSMD_TRAIN_IDENTITY_BAND=1 $BT
 run train_ffn_band    2400 MSMD_TRAIN_FUSED_FFN=1 MSMD_TRAIN_IDENTITY_BAND=1 $BT
 run train_remat       2400 MSMD_TRAIN_REMAT=1 $BT
+run train_2clip       2400 MSMD_TRAIN_TWO_CLIP=1 $BT
+run train_2clip_ffn   2400 MSMD_TRAIN_TWO_CLIP=1 MSMD_TRAIN_FUSED_FFN=1 $BT
+run train_2clip_band  2400 MSMD_TRAIN_TWO_CLIP=1 MSMD_TRAIN_IDENTITY_BAND=1 $BT
+run train_2clip_all   2400 MSMD_TRAIN_TWO_CLIP=1 MSMD_TRAIN_FUSED_FFN=1 MSMD_TRAIN_IDENTITY_BAND=1 $BT
 
 # ---- D: batch-48 throughput knobs --------------------------------------
 S48="MSMD_BENCH_INNER=1 MSMD_BENCH_TRAIN=0"

@@ -115,6 +115,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "dropout becomes a Bernoulli on the gathered V rows — statistically equivalent)")
     parser.add_argument("--remat_denoiser", action="store_true",
                         help="gradient-checkpoint the decoder layers (recompute activations in backward)")
+    parser.add_argument("--two_clip_batch", action="store_true",
+                        help="run both training clips as ONE 2B-row style/audio/denoiser forward "
+                             "(clip 1's carry only needs clip 0's audio features; statistically equivalent)")
     parser.add_argument("--batch_overfit_size", type=int, default=-1, help="overfit smoke mode: dataset of k items")
     return parser
 
