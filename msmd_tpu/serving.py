@@ -1,11 +1,19 @@
-"""Production serving API: a warmed-up speech->motion generator.
+"""Production serving API: a warmed-up speech->motion generator and a
+continuous multi-stream batcher.
 
-Wraps model loading, style encoding, windowed autoregressive sampling,
-and denormalization into one object suitable for a serving process —
-the programmatic twin of the `inference.py` CLI. Window programs
-compile once (per subdivision-count) and are reused across requests;
-`warmup` pre-compiles for given audio lengths so first-request latency
-is flat.
+`MotionGenerator` wraps model loading, style encoding, windowed
+autoregressive sampling, and denormalization into one object suitable
+for a serving process — the programmatic twin of the `inference.py`
+CLI. Window programs compile once (per subdivision-count) and are
+reused across requests; `warmup` pre-compiles for given audio lengths
+so first-request latency is flat.
+
+`StreamingBatcher` serves MANY concurrent live streams at the batched
+sampler's aggregate rate: single-stream sampling is latency-bound
+(~47x real time per chip, BENCH.md) while the batch-48 program is ~96x
+PER CHIP aggregate — so a slot-based micro-batcher that runs every
+pending 4 s window of every stream as ONE fixed-shape sample() call
+serves ~2x more streams per chip than per-stream serving.
 
 Example:
     gen = MotionGenerator.from_experiment(root, name, "0470000", coef_stats)
@@ -16,13 +24,15 @@ Example:
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from msmd_tpu.inference_lib import infer_coeffs, load_model
+from msmd_tpu.models.diffusion import sample as diffusion_sample
 
 
 class MotionGenerator:
@@ -96,3 +106,230 @@ class MotionGenerator:
         n_sub = min(2, max_sub)
         samples = int(cfg.n_audio_samples * n_sub)
         _ = self.generate(np.zeros(samples, np.float32), None, n_repetitions=n_repetitions, seed=0)
+
+
+# ===========================================================================
+# Continuous multi-stream micro-batching
+# ===========================================================================
+
+@dataclass
+class _Stream:
+    key: jax.Array                       # per-stream RNG root
+    style: np.ndarray                    # (d_style,)
+    shape: np.ndarray                    # (shape_feat_dim,)
+    buffer: np.ndarray                   # pending 16 kHz z-scored samples
+    final: bool = False                  # no more audio will arrive
+    window_idx: int = 0
+    prev_motion: Optional[np.ndarray] = None   # (n_prev, D) carry
+    prev_audio: Optional[np.ndarray] = None    # (n_prev, F) carry
+    motion_at_T: Optional[np.ndarray] = None   # (L, D) window-0 draw, reused
+    outputs: List[np.ndarray] = field(default_factory=list)
+    finished: bool = False
+
+
+class StreamingBatcher:
+    """Continuous micro-batching over concurrent speech->motion streams.
+
+    Each scheduling round (`step()`) collects up to ``max_slots`` streams
+    that have a full 4 s window buffered (or a final partial one), runs
+    their windows as ONE fixed-shape batched ``sample()`` call — the
+    batch-48-efficient throughput program — and scatters the results and
+    autoregressive carries back per stream. Follows the reference's
+    windowed autoregression exactly (inference.py:35-75): the prev-window
+    carry is the last ``n_prev_motions`` generated frames + audio
+    features, and the initial noise ``motion_at_T`` is drawn once per
+    stream and reused for its subsequent windows (inference.py:64-69).
+
+    Streaming deviations from the offline `infer_coeffs` path, by design:
+
+    - audio features are extracted per window (the training-forward
+      geometry, model.py:146-248) rather than over the whole clip at
+      once — a live stream's future audio does not exist yet;
+    - every stochastic draw is slot-local, derived inside jit from the
+      stream's own key (``mT = normal(fold_in(fold_in(key, w), 0))``,
+      per-step ``z = normal(fold_in(fold_in(key, w), 1), (T, L, D))``),
+      so a stream's output is bit-independent of which other streams
+      share its batch (isolation is asserted in
+      tests/test_serving_batcher.py).
+
+    CFG mode/scale and ``dynamic_threshold`` are trace-time constants of
+    the one compiled program, so they are per-batcher, not per-stream.
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        max_slots: int = 48,
+        cfg_mode: Optional[str] = None,
+        cfg_cond=None,
+        cfg_scale: float = 1.15,
+        dynamic_threshold: Optional[Tuple[float, float, float]] = None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.cfg = model.cfg
+        self.max_slots = int(max_slots)
+        self.cfg_mode, self.cfg_cond, self.cfg_scale = cfg_mode, cfg_cond, cfg_scale
+        self.dynamic_threshold = dynamic_threshold
+        self._streams: Dict[str, _Stream] = {}
+        self._rr: int = 0  # round-robin fairness cursor
+        self._null_style = None
+        params = variables["params"]
+        if "null_style_feat" in params:
+            self._null_style = np.asarray(params["null_style_feat"], np.float32)[0, 0]
+        self._step_fn = self._build_step_fn()
+        from msmd_tpu.models.diffusion import MSMD
+
+        self._extract = jax.jit(
+            lambda a: model.apply(variables, a, method=MSMD.extract_audio_feature)
+        )
+
+    # ------------------------------------------------------------------
+    def _build_step_fn(self):
+        model, variables, cfg = self.model, self.variables, self.cfg
+        T, L, D = cfg.n_diff_steps, cfg.n_motions, cfg.motion_feat_dim
+        params = variables["params"]
+        use_ind = cfg.use_indicator
+
+        def step(window_keys, audio_feat, shape, style, prev_m, prev_a, mT_carry, is_first, indicator):
+            # slot-local draws: stream identity, not batch composition,
+            # determines every random number
+            z = jax.vmap(lambda k: jax.random.normal(jax.random.fold_in(k, 1), (T, L, D)))(window_keys)
+            mT_draw = jax.vmap(lambda k: jax.random.normal(jax.random.fold_in(k, 0), (L, D)))(window_keys)
+            f = is_first[:, None, None]
+            motion_at_T = jnp.where(f, mT_draw, mT_carry)
+            prev_m = jnp.where(f, jnp.broadcast_to(params["start_motion_feat"], prev_m.shape), prev_m)
+            prev_a = jnp.where(f, jnp.broadcast_to(params["start_audio_feat"], prev_a.shape), prev_a)
+            motion, mT_out, audio_out = diffusion_sample(
+                model, variables, jax.random.PRNGKey(0), audio_feat, shape, style,
+                prev_motion_feat=prev_m, prev_audio_feat=prev_a, motion_at_T=motion_at_T,
+                indicator=indicator if use_ind else None,
+                cfg_mode=self.cfg_mode, cfg_cond=self.cfg_cond, cfg_scale=self.cfg_scale,
+                dynamic_threshold=self.dynamic_threshold,
+                noise_override=jnp.swapaxes(z, 0, 1),  # (T, S, L, D)
+            )
+            return motion, mT_out, audio_out
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
+    def add_stream(self, sid: str, key: jax.Array, style: Optional[np.ndarray] = None, shape: Optional[np.ndarray] = None):
+        """Register a stream. ``style`` is a (d_style,) embedding (null
+        embedding used when None); ``shape`` a (shape_feat_dim,) FLAME
+        shape code (zeros when None, like MotionGenerator.generate)."""
+        assert sid not in self._streams, f"stream {sid} already registered"
+        if style is None:
+            if self._null_style is None:
+                raise ValueError("style is required: model has no null style embedding")
+            style = self._null_style
+        if shape is None:
+            shape = np.zeros((self.cfg.shape_feat_dim,), np.float32)
+        self._streams[sid] = _Stream(
+            key=key, style=np.asarray(style, np.float32), shape=np.asarray(shape, np.float32),
+            buffer=np.zeros((0,), np.float32),
+        )
+
+    def push_audio(self, sid: str, samples: np.ndarray, final: bool = False):
+        """Append z-scored 16 kHz samples; ``final`` marks end-of-stream."""
+        s = self._streams[sid]
+        assert not s.final, f"stream {sid} already finalized"
+        s.buffer = np.concatenate([s.buffer, np.asarray(samples, np.float32).reshape(-1)])
+        s.final = s.final or final
+        if s.final and len(s.buffer) == 0:
+            s.finished = True
+
+    def output(self, sid: str) -> np.ndarray:
+        """All frames generated so far, (n_frames, D)."""
+        s = self._streams[sid]
+        return np.concatenate(s.outputs, axis=0) if s.outputs else np.zeros((0, self.cfg.motion_feat_dim), np.float32)
+
+    def finished(self, sid: str) -> bool:
+        return self._streams[sid].finished
+
+    def remove_stream(self, sid: str):
+        del self._streams[sid]
+
+    # ------------------------------------------------------------------
+    def _ready_ids(self) -> List[str]:
+        n_a = self.cfg.n_audio_samples
+        return [
+            sid for sid, s in self._streams.items()
+            if not s.finished and (len(s.buffer) >= n_a or (s.final and len(s.buffer) > 0))
+        ]
+
+    def step(self) -> int:
+        """Run one scheduling round; returns the number of stream-windows
+        processed (0 = nothing was ready)."""
+        cfg = self.cfg
+        n_a, L, D, P = cfg.n_audio_samples, cfg.n_motions, cfg.motion_feat_dim, cfg.n_prev_motions
+        ready = self._ready_ids()
+        if not ready:
+            return 0
+        # round-robin fairness when oversubscribed
+        if len(ready) > self.max_slots:
+            self._rr %= len(ready)
+            ready = (ready + ready)[self._rr : self._rr + self.max_slots]
+            self._rr += self.max_slots
+        S = self.max_slots
+        F = int(self.variables["params"]["start_audio_feat"].shape[-1])
+
+        audio = np.zeros((S, n_a), np.float32)
+        shape = np.zeros((S, cfg.shape_feat_dim), np.float32)
+        style = np.zeros((S, cfg.d_style), np.float32)
+        prev_m = np.zeros((S, P, D), np.float32)
+        prev_a = np.zeros((S, P, F), np.float32)
+        mT = np.zeros((S, L, D), np.float32)
+        is_first = np.ones((S,), bool)
+        indicator = np.ones((S, L), np.float32)
+        window_keys = []
+        pad_frames = [0] * S
+
+        for i, sid in enumerate(ready):
+            s = self._streams[sid]
+            take = min(len(s.buffer), n_a)
+            audio[i, :take] = s.buffer[:take]
+            s.buffer = s.buffer[take:]
+            if take < n_a:  # final partial window (same formula as
+                # infer_coeffs / reference inference.py:41-44)
+                pad_frames[i] = min(L, math.ceil((n_a - take) / cfg.audio_unit))
+                indicator[i, L - pad_frames[i] :] = 0.0
+            shape[i], style[i] = s.shape, s.style
+            if s.window_idx > 0:
+                prev_m[i], prev_a[i], mT[i] = s.prev_motion, s.prev_audio, s.motion_at_T
+                is_first[i] = False
+            window_keys.append(jax.random.fold_in(s.key, s.window_idx))
+        # idle slots: dummy keys (their rows are computed and discarded)
+        window_keys.extend(jax.random.PRNGKey(0) for _ in range(S - len(ready)))
+
+        feat = self._extract(jnp.asarray(audio))
+        motion, mT_out, audio_feat_out = self._step_fn(
+            jnp.stack(window_keys), feat, jnp.asarray(shape), jnp.asarray(style),
+            jnp.asarray(prev_m), jnp.asarray(prev_a), jnp.asarray(mT),
+            jnp.asarray(is_first), jnp.asarray(indicator),
+        )
+        motion = np.asarray(motion)
+        mT_out = np.asarray(mT_out)
+        audio_feat_out = np.asarray(audio_feat_out)
+
+        for i, sid in enumerate(ready):
+            s = self._streams[sid]
+            s.prev_motion = motion[i, -P:]
+            s.prev_audio = audio_feat_out[i, -P:]
+            s.motion_at_T = mT_out[i]
+            out = motion[i, : L - pad_frames[i]] if pad_frames[i] else motion[i]
+            s.outputs.append(out)
+            s.window_idx += 1
+            if s.final and len(s.buffer) == 0:
+                s.finished = True
+        return len(ready)
+
+    def run_until_drained(self) -> int:
+        """Step until no stream has a pending window; returns total
+        stream-windows processed."""
+        total = 0
+        while True:
+            n = self.step()
+            if n == 0:
+                return total
+            total += n
