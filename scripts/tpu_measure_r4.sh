@@ -70,5 +70,10 @@ run b48_no_vmw        1800 $S48 MSMD_VMW_HOIST=0 $BI
 run b1_windows5       2400 $S1 MSMD_BENCH_WINDOWS=5 $BI
 run b48_windows5      2400 $S48 MSMD_BENCH_WINDOWS=5 $BI
 
+# ---- F: multi-stream serving batcher aggregate rate ---------------------
+SP="python benchmarks/serving_probe.py"
+run serve_48slots     2400 MSMD_SERVE_SLOTS=48 $SP
+run serve_16slots     1800 MSMD_SERVE_SLOTS=16 $SP
+
 echo "=== done; results in $OUT ==="
 cat "$OUT"
