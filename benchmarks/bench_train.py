@@ -26,7 +26,8 @@ def main():
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/msmd_jax_cache")
+        from msmd_tpu.platform import cache_dir_for
+        jax.config.update("jax_compilation_cache_dir", cache_dir_for("/tmp/msmd_jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     except Exception:
         pass
@@ -83,6 +84,14 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
+    # pipelined rate: dispatch all steps, fetch once — how trainer.fit
+    # actually runs (metrics stay on device between log points)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, batch_data, jax.random.fold_in(key, 100 + i))
+    _ = float(metrics["loss"])
+    dt_pipe = (time.perf_counter() - t0) / steps
+
     # roofline: XLA's own FLOP count for the compiled step -> MFU against
     # the v5e bf16 peak (197 TFLOP/s/chip)
     mfu = flops = None
@@ -107,6 +116,7 @@ def main():
                 + (", two_clip_batch" if two_clip else ""),
                 "value": round(1.0 / dt, 3),
                 "unit": "steps/sec",
+                "pipelined_steps_per_sec": round(1.0 / dt_pipe, 3),
                 "train_audio_seconds_per_sec": round(audio_seconds_per_step / dt, 1),
                 "step_wall_s": round(dt, 4),
                 "step_tflop_xla": round(flops / 1e12, 2) if flops else None,

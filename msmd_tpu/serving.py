@@ -308,9 +308,9 @@ class StreamingBatcher:
             jnp.asarray(prev_m), jnp.asarray(prev_a), jnp.asarray(mT),
             jnp.asarray(is_first), jnp.asarray(indicator),
         )
-        motion = np.asarray(motion)
-        mT_out = np.asarray(mT_out)
-        audio_feat_out = np.asarray(audio_feat_out)
+        # one host fetch for the round (the axon tunnel executes lazily;
+        # each separate fetch is a full roundtrip)
+        motion, mT_out, audio_feat_out = jax.device_get((motion, mT_out, audio_feat_out))
 
         for i, sid in enumerate(ready):
             s = self._streams[sid]

@@ -150,10 +150,16 @@ class Trainer:
             key, sub = jax.random.split(key)
             self.state, metrics = self.train_step(self.state, batch, sub)
 
+            # keep the metric scalars ON DEVICE between log points: a
+            # per-iteration float() would force a host sync (one tunnel
+            # roundtrip per step on axon) and serialize host data prep
+            # with device compute — the async dispatch queue is what
+            # overlaps next(train_loader) with the running step
             for k, v in metrics.items():
-                smooth[k].append(float(v))
+                smooth[k].append(v)
             if it % log_every == 0:
-                means = {k: float(np.mean(v)) for k, v in smooth.items()}
+                fetched = {k: jax.device_get(list(v)) for k, v in smooth.items()}
+                means = {k: float(np.mean(v)) for k, v in fetched.items()}
                 rate = (it - self.start_iter + 1) / max(time.time() - t0, 1e-9)
                 self.writer.scalars("train", means, it)
                 self.writer.scalar("opt/steps_per_sec", rate, it)
