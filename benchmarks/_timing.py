@@ -13,7 +13,8 @@ def configure_cache():
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/msmd_jax_cache")
+        from msmd_tpu.platform import cache_dir_for
+        jax.config.update("jax_compilation_cache_dir", cache_dir_for("/tmp/msmd_jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     except Exception:
         pass

@@ -9,7 +9,33 @@ effect. Also enables the persistent compilation cache when
 ``JAX_COMPILATION_CACHE_DIR`` is set (the jitted train/sampler programs
 take minutes to compile cold)."""
 
+import hashlib
 import os
+
+
+def machine_fingerprint() -> str:
+    """Short hash of the host CPU's feature flags.
+
+    XLA:CPU persists AOT-compiled executables keyed by the *program*,
+    not the host it was compiled on; if the VM migrates to a machine
+    with different CPU features, loading the stale artifact warns
+    ("could lead to execution errors such as SIGILL") and can produce
+    silently wrong numerics. Suffixing the cache dir with this hash
+    makes each machine generation use its own cache.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "unknown"
+
+
+def cache_dir_for(base: str) -> str:
+    return f"{base.rstrip('/')}-{machine_fingerprint()}"
 
 
 def apply_platform_env() -> None:
@@ -24,7 +50,7 @@ def apply_platform_env() -> None:
     cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if cache:
         try:
-            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_compilation_cache_dir", cache_dir_for(cache))
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         except Exception:

@@ -12,6 +12,13 @@ echo "=== tpu_measure_r4 $(date -u +%FT%TZ) -> $OUT ==="
 
 run() { # run <tag> <timeout_s> <cmd...>
   local tag=$1 to=$2; shift 2
+  # idempotent re-runs: a tag that already has a successful result is
+  # skipped, so the watcher can re-invoke this script after every
+  # tunnel flap until the whole batch is complete
+  if [ -f "$OUT" ] && grep -q "\"tag\":\"$tag\",\"wall_s\":[0-9]*,\"result\"" "$OUT"; then
+    echo "--- [$tag] already measured, skip"
+    return 0
+  fi
   echo "--- [$tag] $*"
   local t0=$SECONDS
   local out
@@ -75,5 +82,8 @@ SP="python benchmarks/serving_probe.py"
 run serve_48slots     2400 MSMD_SERVE_SLOTS=48 $SP
 run serve_16slots     1800 MSMD_SERVE_SLOTS=16 $SP
 
-echo "=== done; results in $OUT ==="
+TOTAL=23
+OKC=$(grep -o '"result"' "$OUT" 2>/dev/null | wc -l)
+echo "=== done; $OKC/$TOTAL measured OK; results in $OUT ==="
 cat "$OUT"
+[ "$OKC" -ge "$TOTAL" ]

@@ -19,8 +19,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: the jitted train/sample programs take
-# minutes to compile on CPU; cache them across test runs/processes
-jax.config.update("jax_compilation_cache_dir", "/tmp/msmd_jax_cache")
+# minutes to compile on CPU; cache them across test runs/processes.
+# The dir is suffixed with a host-CPU-feature fingerprint: XLA:CPU AOT
+# artifacts are NOT portable across machine generations (the VM can
+# migrate between rounds), and loading a stale one can silently corrupt
+# numerics (observed: a train step whose param update compiled to zero).
+from msmd_tpu.platform import cache_dir_for  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cache_dir_for("/tmp/msmd_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
