@@ -111,6 +111,11 @@ class MSMDConfig:
     # forwards batch cleanly. Statistically (not bitwise) equivalent to
     # the sequential path: RNG draw order changes.
     two_clip_batch: bool = False
+    # TPU extra: tensor-parallel degree. >1 lays the devices out as a
+    # (data, model) mesh and shards the dense kernels Megatron-style
+    # (column/row PartitionSpecs, msmd_tpu/parallel/tp.py); XLA's SPMD
+    # partitioner inserts the ICI collectives. 1 = pure data parallel.
+    tp_size: int = 1
     log_smooth_win: int = 50
     continue_from: Optional[str] = None
 

@@ -51,26 +51,34 @@ class Trainer:
         self.start_iter = 0
 
         if use_mesh:
+            devs = jax.devices()
+            tp = max(int(getattr(cfg, "tp_size", 1)), 1)
+            if tp > 1 and len(devs) % tp != 0:
+                raise ValueError(f"tp_size={tp} does not divide {len(devs)} devices")
             # data-parallel over the largest device count that divides
             # the global batch (a 2-sample smoke run on an 8-virtual-CPU
             # host must not demand batch % 8 == 0)
-            devs = jax.devices()
-            n = len(devs)
+            n = len(devs) // tp
             while n > 1 and cfg.batch_size % n != 0:
                 n -= 1
-            if n < len(devs):
+            if n * tp < len(devs):
                 print(
                     f"[trainer] batch_size={cfg.batch_size} not divisible by "
-                    f"{len(devs)} devices: data-parallel over {n} device(s), "
-                    f"{len(devs) - n} idle — pick a divisible batch size to "
-                    f"use the whole machine",
+                    f"{len(devs) // tp} data shards: data-parallel over {n} "
+                    f"shard(s) x tp={tp}, {len(devs) - n * tp} device(s) idle "
+                    f"— pick a divisible batch size to use the whole machine",
                     flush=True,
                 )
-            self.mesh = make_mesh(("data",), devices=devs[:n])
+            if tp > 1:
+                from msmd_tpu.parallel.tp import make_dp_tp_mesh
+
+                self.mesh = make_dp_tp_mesh(n, tp, devices=devs)
+            else:
+                self.mesh = make_mesh(("data",), devices=devs[:n])
         else:
             self.mesh = None
         if self.mesh is not None:
-            self.state = jax.device_put(self.state, replicate_sharding(self.mesh))
+            self.state = jax.device_put(self.state, self._state_sharding(self.state))
 
         if coef_stats is not None:
             coef_stats = {k: jnp.asarray(v) for k, v in coef_stats.items()}
@@ -79,6 +87,16 @@ class Trainer:
         self.writer = MetricWriter(self.exp_dir / "logs")
 
     # ------------------------------------------------------------------
+    def _state_sharding(self, state_like):
+        """Sharding tree for the train state on self.mesh: replicated
+        under pure DP, Megatron column/row specs when the mesh has a
+        model axis (tp_size > 1)."""
+        if "model" in self.mesh.shape and self.mesh.shape["model"] > 1:
+            from msmd_tpu.parallel.tp import tp_shardings
+
+            return tp_shardings(state_like, self.mesh)
+        return replicate_sharding(self.mesh)
+
     def maybe_resume(self, continue_from: Optional[str]) -> int:
         """Resume from an experiment dir: prefer the Orbax state, fall back
         to the latest reference-format .pt (reference:
@@ -90,7 +108,7 @@ class Trainer:
         if step is not None:
             restored = ckpt.restore_native(exp, step, self.state)
             self.state = jax.device_put(
-                restored, replicate_sharding(self.mesh) if self.mesh else jax.devices()[0]
+                restored, self._state_sharding(restored) if self.mesh else jax.devices()[0]
             )
             self.start_iter = step
             return step
@@ -105,7 +123,7 @@ class Trainer:
                 step=jax.numpy.asarray(it, jax.numpy.int32), params=params, opt_state=self.tx.init(params)
             )
             if self.mesh is not None:
-                self.state = jax.device_put(self.state, replicate_sharding(self.mesh))
+                self.state = jax.device_put(self.state, self._state_sharding(self.state))
             self.start_iter = it
             return it
         raise ValueError(f"No checkpoints found under {exp}")

@@ -118,6 +118,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--two_clip_batch", action="store_true",
                         help="run both training clips as ONE 2B-row style/audio/denoiser forward "
                              "(clip 1's carry only needs clip 0's audio features; statistically equivalent)")
+    parser.add_argument("--tp_size", type=int, default=1,
+                        help="tensor-parallel degree: devices form a (data, model) mesh and the dense "
+                             "kernels shard Megatron-style over the model axis (1 = pure data parallel)")
     parser.add_argument("--batch_overfit_size", type=int, default=-1, help="overfit smoke mode: dataset of k items")
     return parser
 
