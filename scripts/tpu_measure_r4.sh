@@ -3,8 +3,9 @@
 # Run the moment the axon TPU tunnel is up:  bash scripts/tpu_measure_r4.sh
 # Appends one JSON line per measurement to $OUT (default
 # /tmp/r4_measurements.jsonl), tagged, resilient to individual failures.
-# Ordered by priority: headline recapture first, then batch-1 knob
-# sweep, training knobs, batch-48 knobs, multi-window long-form.
+# Ordered by priority: batch-1 knob sweep (47x->50x gap), batch-48
+# throughput knobs, training knobs, long-form, serving; the orchestrated
+# headline (redundant with the driver's end-of-round capture) runs last.
 set -u
 cd "$(dirname "$0")/.."
 OUT=${OUT:-/tmp/r4_measurements.jsonl}
@@ -41,10 +42,6 @@ BI="python bench.py"          # inner mode for sweeps (no probe, no train)
 LP="python benchmarks/latency_probe.py"
 BT="python benchmarks/bench_train.py"
 
-# ---- A: driver-headline recapture (incl. training + parity fields;
-#         bench's own inner timeouts sum to ~75 min worst case) ---------
-run headline_default 5400 MSMD_BENCH_TRAIN=1 $B
-
 # ---- B: batch-1 scan-kernel knob sweep (target: >=50x) ----------------
 S1="MSMD_BENCH_INNER=1 MSMD_BENCH_TRAIN=0 MSMD_BENCH_REPS=1"
 run b1_default        1800 $S1 $BI
@@ -53,6 +50,14 @@ run b1_no_concat      1800 $S1 MSMD_SCAN_CONCAT=0 $BI
 run b1_no_pad         1800 $S1 MSMD_SCAN_PAD=0 $BI
 run b1_mh_and_concat0 1800 $S1 MSMD_MERGED_HEADS=1 MSMD_SCAN_CONCAT=0 $BI
 run b1_vmw_f32        1800 $S1 MSMD_VMW_F32=1 $BI
+
+# ---- D: batch-48 throughput knobs --------------------------------------
+S48="MSMD_BENCH_INNER=1 MSMD_BENCH_TRAIN=0"
+run b48_default       1800 $S48 $BI
+run b48_merged_person 1800 $S48 MSMD_MERGED_PERSON=1 $BI
+run b48_decoder_pad   1800 $S48 MSMD_DECODER_PAD=1 $BI
+run b48_resident      1800 $S48 MSMD_DECODER_RESIDENT=1 $BI
+run b48_no_vmw        1800 $S48 MSMD_VMW_HOIST=0 $BI
 
 # ---- C: training knobs at the paper config ----------------------------
 run train_baseline    2400 $BT
@@ -65,14 +70,6 @@ run train_2clip_ffn   2400 MSMD_TRAIN_TWO_CLIP=1 MSMD_TRAIN_FUSED_FFN=1 $BT
 run train_2clip_band  2400 MSMD_TRAIN_TWO_CLIP=1 MSMD_TRAIN_IDENTITY_BAND=1 $BT
 run train_2clip_all   2400 MSMD_TRAIN_TWO_CLIP=1 MSMD_TRAIN_FUSED_FFN=1 MSMD_TRAIN_IDENTITY_BAND=1 $BT
 
-# ---- D: batch-48 throughput knobs --------------------------------------
-S48="MSMD_BENCH_INNER=1 MSMD_BENCH_TRAIN=0"
-run b48_default       1800 $S48 $BI
-run b48_merged_person 1800 $S48 MSMD_MERGED_PERSON=1 $BI
-run b48_decoder_pad   1800 $S48 MSMD_DECODER_PAD=1 $BI
-run b48_resident      1800 $S48 MSMD_DECODER_RESIDENT=1 $BI
-run b48_no_vmw        1800 $S48 MSMD_VMW_HOIST=0 $BI
-
 # ---- E: long-form multi-window real-time factor ------------------------
 run b1_windows5       2400 $S1 MSMD_BENCH_WINDOWS=5 $BI
 run b48_windows5      2400 $S48 MSMD_BENCH_WINDOWS=5 $BI
@@ -81,6 +78,11 @@ run b48_windows5      2400 $S48 MSMD_BENCH_WINDOWS=5 $BI
 SP="python benchmarks/serving_probe.py"
 run serve_48slots     2400 MSMD_SERVE_SLOTS=48 $SP
 run serve_16slots     1800 MSMD_SERVE_SLOTS=16 $SP
+
+# ---- A (last): driver-headline recapture (incl. training + parity
+#         fields) -- redundant with the driver's own end-of-round
+#         capture, so it runs after every sweep row has landed ---------
+run headline_default 5400 MSMD_BENCH_TRAIN=1 $B
 
 TOTAL=23
 OKC=$(grep -o '"result"' "$OUT" 2>/dev/null | wc -l)
