@@ -13,6 +13,9 @@ Reports ONE JSON line:
                motion per wall second, per chip)
   vs_baseline  ratio against the 50x-real-time target in BASELINE.json
                (the reference publishes no numbers of its own).
+  batch1_*     single-stream (batch 1) real-time factor — the
+               reference's actual deployment shape — measured in the
+               same capture (MSMD_BENCH_BATCH1=0 skips).
   train_*      training-step throughput fields (BASELINE config 5),
                measured in the same capture (MSMD_BENCH_TRAIN=0 skips).
   parity_f64_* cross-framework f64 semantic-parity figures from the
@@ -329,6 +332,26 @@ def main():
             time.monotonic() - t_start,
         )
         return
+
+    # 2b) batch-1 real-time factor in the same capture (VERDICT r4
+    #     item 2: single-stream is the reference's actual deployment
+    #     shape, /root/reference/inference.py:35-75). One extra inner
+    #     run with MSMD_BENCH_REPS=1; failure just omits the fields.
+    if os.environ.get("MSMD_BENCH_BATCH1", "1") == "1":
+        rc, out, err = _run_sub(
+            [sys.executable, os.path.join(_REPO, "bench.py")],
+            float(os.environ.get("MSMD_BENCH_BATCH1_TIMEOUT", "1500")),
+            extra_env={"MSMD_BENCH_INNER": "1", "MSMD_BENCH_REPS": "1"},
+        )
+        b1 = _last_json_line(out) if rc == 0 else None
+        if b1 is not None:
+            result["batch1_rtf"] = b1.get("value")
+            result["batch1_vs_baseline"] = b1.get("vs_baseline")
+            result["batch1_window_wall_s"] = b1.get("window_wall_s")
+        else:
+            result["batch1_error"] = (
+                f"rc={rc} " + (err.strip().splitlines()[-1] if (err or "").strip() else "")
+            )[:300]
 
     # 3) f64 semantic-parity figure in the same capture (BASELINE.json
     #    lists vertex-MSE parity among the metrics): the full-pipeline
