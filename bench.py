@@ -387,9 +387,18 @@ def main():
         train = _last_json_line(out) if rc == 0 else None
         if train is not None:
             result["train_steps_per_sec"] = train.get("value")
+            result["train_steps_per_sec_pipelined"] = train.get("pipelined_steps_per_sec")
             result["train_audio_seconds_per_sec"] = train.get("train_audio_seconds_per_sec")
             result["train_step_wall_s"] = train.get("step_wall_s")
-            result["train_mfu_vs_197tflops"] = train.get("mfu_vs_197tflops")
+            # production MFU: Trainer.fit dispatches steps back-to-back
+            # (on-device metric smoothing, one fetch per log point), so
+            # the pipelined figure is the device's real utilization; the
+            # synced figure (kept as train_mfu_synced) adds the
+            # benchmark's per-step tunnel round-trip artifact.
+            result["train_mfu_vs_197tflops"] = (
+                train.get("mfu_pipelined_vs_197tflops") or train.get("mfu_vs_197tflops")
+            )
+            result["train_mfu_synced"] = train.get("mfu_vs_197tflops")
             result["train_metric"] = train.get("metric")
         else:
             result["train_error"] = (

@@ -804,6 +804,16 @@ def sample(
                     jnp.arange(lqp) < lq, jnp.float32(0.0), jnp.float32(-1e30)
                 )[None, :],
             )
+        # Block-diagonal self-attention (MSMD_SCAN_BLOCKDIAG=1): fold
+        # both CFG entries' self-attention into one (E*lqp, E*lqp)
+        # masked dot per head — halves the self-attention dot issues per
+        # layer at E=2 for ~2x MAC waste on the tiny score blocks
+        # (latency-regime tradeoff; exact — masked scores exp to 0).
+        if os.environ.get("MSMD_SCAN_BLOCKDIAG", "0") == "1":
+            from msmd_tpu.ops.pallas.decoder_kernel import build_scan_self_mask
+
+            lqp_eff = scan_const["pe_flat"].shape[0] // E
+            scan_const["self_mask_bd"] = build_scan_self_mask(E, lqp_eff, lq)
         # Hoist the PROJECTED identity-band V-gather out of the kernel:
         # sel_vm is one-hot and the memory V is step-invariant, so
         # (sel_vm @ vm) @ wco is an exact per-layer constant (L, R, F);

@@ -318,6 +318,15 @@ def _layer_compute(
     (and skips the bf16 round-trip the selector dots impose); requires
     per_entry mode and ``vmw`` (the scatter-free cross build).
 
+    ``per_entry`` + ``self_mask``: BLOCK-DIAGONAL self-attention over
+    the flattened (E*lq, E*lq) scores while keeping the per-entry
+    identity-band cross path. At E=2 (batch-1 CFG after dead-entry
+    elimination) this halves the self-attention dot issues per layer
+    (2 per head instead of 4) for only ~2x MAC waste on the tiny score
+    blocks — the latency-regime tradeoff, far milder than merged-heads
+    (no K/V copies). Exact: the mask's -1e30 entries exp to exactly 0,
+    so the cross-entry PV contributions are exact zeros.
+
     ``merged_person``: merged-head PERSON cross-attention only (same
     algebra as the head_mask path's person branch, independent of the
     self-attention form). The person score matrices are tiny ((T, Mt)
@@ -342,7 +351,7 @@ def _layer_compute(
 
     # ---- self-attention ------------------------------------------------
     qkv = dot(x, wqkv) + bqkv.astype(jnp.float32)  # (R, 3F)
-    if per_entry:
+    if per_entry and self_mask is None:
         lq = x.shape[0] // per_entry
         merged = head_mask is not None and _fast_softmax_active(cdt)
         entries = []
@@ -846,6 +855,18 @@ def build_sampler_step_aux(n_entries: int, lq: int, lm: int, n_prev: int, n_cur:
     return (jnp.asarray(sel_pp, dtype), jnp.asarray(sel_mm, dtype), jnp.asarray(sel_tail, dtype))
 
 
+def build_scan_self_mask(n_entries: int, lqp: int, lq: int) -> jnp.ndarray:
+    """Additive (E*lqp, E*lqp) f32 self-attention mask for the
+    whole-scan kernel's BLOCK-DIAGONAL mode (MSMD_SCAN_BLOCKDIAG):
+    row r may attend column c iff both belong to the same CFG entry and
+    c is a real (non-sublane-padding) row. Folds the entry isolation and
+    the pad-row key mask into one resident constant."""
+    idx = np.arange(n_entries * lqp)
+    same_entry = (idx[:, None] // lqp) == (idx[None, :] // lqp)
+    real_col = (idx[None, :] % lqp) < lq
+    return jnp.asarray(np.where(same_entry & real_col, 0.0, NEG), jnp.float32)
+
+
 def _sampler_step_kernel(
     # per-step inputs
     motion_t, emb_row, sc, z,
@@ -976,7 +997,7 @@ def _sampler_step_kernel(
 def _sampler_scan_kernel(
     *refs, n_layers: int, n_heads: int, n_entries: int, n_cur: int, d_motion: int,
     num_basis: int, use_indicator: bool, sigmoid_alpha: bool, coefficients,
-    padded: bool = False, has_vmw: bool = False,
+    padded: bool = False, has_vmw: bool = False, has_self_bd: bool = False,
 ):
     # ref order mirrors the `inputs` list in fused_sampler_scan:
     # streamed per step (grid dim 0 = scan order t = T..1), then x_T,
@@ -991,11 +1012,13 @@ def _sampler_scan_kernel(
      ln_scale, ln_bias, kmem, vmem,
      person_mask, sel_pq, sel_ps, sel_vm, sel_pp, sel_mm, sel_tail,
      *rest) = refs
-    key_mask = vmw = None
+    key_mask = vmw = self_bd = None
     if padded:
         key_mask, rest = rest[0], rest[1:]
     if has_vmw:
         vmw, rest = rest[0], rest[1:]
+    if has_self_bd:
+        self_bd, rest = rest[0], rest[1:]
     wd1, bd1, wd2, bd2, statics_rows, pose_sum_rows, out_ref, m_scr = rest
     s = pl.program_id(0)
     F = wso.shape[-1]
@@ -1074,7 +1097,9 @@ def _sampler_scan_kernel(
             sel_ps=sel_ps[:], sel_vm=sel_vm[:],
             key_mask=key_mask[:] if padded else None,
             vmw=vmw[i] if has_vmw else None,
+            self_mask=self_bd[:] if has_self_bd else None,
             head_mask=head_mask, concat_sel=concat_sel,
+            merged_person=_merged_person_env(),
         )
 
     # ---- epilogue (every step): decode + CFG + DDPM -------------------
@@ -1143,6 +1168,7 @@ def fused_sampler_scan(
     L = pack["wqkv"].shape[0]
     padded = const.get("key_mask") is not None
     has_vmw = const.get("vmw") is not None
+    has_self_bd = const.get("self_mask_bd") is not None
 
     res = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # whole array, loaded once
     step = lambda a: pl.BlockSpec((1,) + a.shape[1:], lambda s, _nd=a.ndim: (s,) + (0,) * (_nd - 1))
@@ -1152,6 +1178,7 @@ def fused_sampler_scan(
         ("person_mask", "sel_pq", "sel_ps", "sel_vm", "sel_pp", "sel_mm", "sel_tail")
         + (("key_mask",) if padded else ())
         + (("vmw",) if has_vmw else ())
+        + (("self_mask_bd",) if has_self_bd else ())
     )
     epi_order = ("wd1", "bd1", "wd2", "bd2", "statics_rows", "pose_sum_rows")
     layer_arrs = [
@@ -1175,7 +1202,7 @@ def fused_sampler_scan(
         n_layers=L, n_heads=n_heads, n_entries=n_entries, n_cur=n_cur,
         d_motion=d_motion, num_basis=num_basis, use_indicator=use_indicator,
         sigmoid_alpha=sigmoid_alpha, coefficients=coefficients, padded=padded,
-        has_vmw=has_vmw,
+        has_vmw=has_vmw, has_self_bd=has_self_bd,
     )
     return pl.pallas_call(
         kernel,

@@ -84,8 +84,11 @@ run serve_16slots     1800 MSMD_SERVE_SLOTS=16 $SP
 #         capture, so it runs after every sweep row has landed ---------
 run headline_default 5400 MSMD_BENCH_TRAIN=1 $B
 
-TOTAL=23
-OKC=$(grep -o '"result"' "$OUT" 2>/dev/null | wc -l)
+# ADVICE r4: compute TOTAL from the script itself, and count only
+# success LINES (an inner payload containing a "result" key must not
+# inflate the count)
+TOTAL=$(grep -c '^run ' "$0")
+OKC=$(grep -c '^{"tag":.*,"result":' "$OUT" 2>/dev/null || echo 0)
 echo "=== done; $OKC/$TOTAL measured OK; results in $OUT ==="
 cat "$OUT"
 [ "$OKC" -ge "$TOTAL" ]

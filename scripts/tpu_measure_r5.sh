@@ -44,6 +44,12 @@ run b1_default        1800 $S1 $BI
 run b1_vmw_f32        1800 $S1 MSMD_VMW_F32=1 $BI
 run b1_no_pad         1800 $S1 MSMD_SCAN_PAD=0 $BI
 run b1_no_concat      1800 $S1 MSMD_SCAN_CONCAT=0 $BI
+run b1_f32_nopad      1800 $S1 MSMD_VMW_F32=1 MSMD_SCAN_PAD=0 $BI
+run b1_default_again  1800 $S1 MSMD_TAG=again $BI
+run b1_blockdiag      1800 $S1 MSMD_SCAN_BLOCKDIAG=1 $BI
+run b1_merged_person  1800 $S1 MSMD_MERGED_PERSON=1 $BI
+run b1_bd_mp          1800 $S1 MSMD_SCAN_BLOCKDIAG=1 MSMD_MERGED_PERSON=1 $BI
+run b1_bd_mp_f32      1800 $S1 MSMD_SCAN_BLOCKDIAG=1 MSMD_MERGED_PERSON=1 MSMD_VMW_F32=1 $BI
 
 # ---- B: training knobs at the paper config (MFU target >=0.30) ---------
 run train_baseline    2400 $BT

@@ -555,3 +555,72 @@ def test_attn_middle_viability_gate():
     assert attn_middle_viable(8, 111, 512, 8)    # odd lq, 8-divisible batch
     assert not attn_middle_viable(3, 10, 512, 8)  # no 8-aligned tile exists
     assert not attn_middle_viable(8, 111, 96, 8)  # head dim 12: not sublane-aligned
+
+
+def test_scan_kernel_blockdiag_and_merged_person(monkeypatch):
+    """The round-5 latency-regime scan-kernel rewrites — block-diagonal
+    two-entry self-attention (MSMD_SCAN_BLOCKDIAG: one masked dot per
+    head over the flattened rows instead of per-entry dots) and
+    merged-head person cross-attention (MSMD_MERGED_PERSON, requires the
+    fast softmax) — match the per-entry/unrolled baseline through the
+    full 4-step sampler. Block-diag is exact in f32 (masked scores exp
+    to exactly 0, and x*0 terms accumulate exactly)."""
+    from msmd_tpu.config import MSMDConfig
+    from msmd_tpu.models.audio import AudioEncoderConfig
+    from msmd_tpu.models.diffusion import get_diffusion_model, sample
+
+    cfg = MSMDConfig(
+        feature_dim=32, n_heads=4, n_layers=2, mlp_ratio=2, d_style=16,
+        n_motions=8, n_prev_motions=4, n_diff_steps=4, num_of_basis=2,
+        use_indicator=True, compute_dtype="float32",
+    )
+    audio_cfg = AudioEncoderConfig(
+        hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+        conv_dim=(16, 16, 16), conv_kernel=(10, 3, 3), conv_stride=(5, 4, 4),
+    )
+    model = get_diffusion_model(cfg, audio_config=audio_cfg, dtype=jnp.float32)
+    rs = np.random.RandomState(7)
+    motion = jnp.zeros((1, cfg.n_motions, cfg.motion_feat_dim))
+    audio = jnp.asarray(rs.randn(1, cfg.n_audio_samples).astype(np.float32) * 0.1)
+    shape = jnp.asarray(rs.randn(1, 100).astype(np.float32) * 0.1)
+    style = jnp.asarray(rs.randn(1, cfg.d_style).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        motion, audio, shape, style, deterministic=True,
+    )
+    mT = jnp.asarray(rs.randn(1, cfg.n_motions, cfg.motion_feat_dim).astype(np.float32))
+    z = jnp.asarray(rs.randn(cfg.n_diff_steps, 1, cfg.n_motions, cfg.motion_feat_dim).astype(np.float32))
+    kw = dict(motion_at_T=mT, noise_override=z)
+
+    def run():
+        jax.clear_caches()  # knobs are read at trace time
+        m, _, _ = sample(model, variables, jax.random.PRNGKey(2), audio, shape, style,
+                         fused_decoder=True, **kw)
+        return np.asarray(m, np.float32)
+
+    base = run()
+    assert np.isfinite(base).all()
+
+    # block-diag self-attention, padded layout (lq=13 odd -> pad on)
+    monkeypatch.setenv("MSMD_SCAN_BLOCKDIAG", "1")
+    np.testing.assert_allclose(run(), base, atol=5e-5, rtol=1e-4)
+
+    # and the unpadded layout
+    monkeypatch.setenv("MSMD_SCAN_PAD", "0")
+    np.testing.assert_allclose(run(), base, atol=5e-5, rtol=1e-4)
+    monkeypatch.delenv("MSMD_SCAN_PAD")
+
+    # merged-head person cross-attention (fast softmax required)
+    monkeypatch.setenv("MSMD_MERGED_PERSON", "1")
+    monkeypatch.setenv("MSMD_FAST_SOFTMAX", "1")
+    np.testing.assert_allclose(run(), base, atol=5e-4, rtol=5e-4)
+
+    # both together
+    monkeypatch.setenv("MSMD_SCAN_BLOCKDIAG", "1")
+    np.testing.assert_allclose(run(), base, atol=5e-4, rtol=5e-4)
+
+    # without the fast softmax merged-person must auto-disable
+    monkeypatch.delenv("MSMD_FAST_SOFTMAX")
+    monkeypatch.delenv("MSMD_SCAN_BLOCKDIAG")
+    np.testing.assert_allclose(run(), base, atol=5e-5, rtol=1e-4)
+    jax.clear_caches()
