@@ -85,18 +85,21 @@ def infer_coeffs(
     shape_in = expand(shape_coef)
 
     sample_fn = partial(
-        sample, model, variables,
+        sample, model,
         cfg_mode=cfg_mode, cfg_cond=cfg_cond, cfg_scale=cfg_scale, dynamic_threshold=dynamic_threshold,
         noise_override=noise_override,
         # the Pallas kernel is not SPMD-partitionable; sharded serving
         # keeps the XLA decoder
         fused_decoder=False if mesh is not None else None,
     )
-    # two compiled programs, reused across all windows (same shapes)
-    first_fn = jax.jit(lambda k, a, s, st, ind: sample_fn(k, a, s, st, indicator=ind, motion_at_T=motion_at_T))
+    # Two compiled programs, reused across all windows (same shapes).
+    # `variables` is a jit ARGUMENT: closed-over params would be baked
+    # into the HLO as literals, blowing past the axon tunnel's
+    # remote-compile request-size limit (HTTP 413) at flagship size.
+    first_fn = jax.jit(lambda v, k, a, s, st, ind: sample_fn(v, k, a, s, st, indicator=ind, motion_at_T=motion_at_T))
     cont_fn = jax.jit(
-        lambda k, a, s, st, pm, pa, nz, ind: sample_fn(
-            k, a, s, st, prev_motion_feat=pm, prev_audio_feat=pa, motion_at_T=nz, indicator=ind
+        lambda v, k, a, s, st, pm, pa, nz, ind: sample_fn(
+            v, k, a, s, st, prev_motion_feat=pm, prev_audio_feat=pa, motion_at_T=nz, indicator=ind
         )
     )
 
@@ -116,11 +119,11 @@ def infer_coeffs(
 
         key, sub = jax.random.split(key)
         if i == 0:
-            motion, noise, prev_audio_full = first_fn(sub, audio_in, shape_in, style, indicator)
+            motion, noise, prev_audio_full = first_fn(variables, sub, audio_in, shape_in, style, indicator)
         else:
             # noise reuses the first window's draw (inference.py:64-69)
             motion, noise, prev_audio_full = cont_fn(
-                sub, audio_in, shape_in, style, prev_motion, prev_audio, noise, indicator
+                variables, sub, audio_in, shape_in, style, prev_motion, prev_audio, noise, indicator
             )
         prev_motion = motion[:, -cfg.n_prev_motions :]
         prev_audio = prev_audio_full[:, -cfg.n_prev_motions :]

@@ -181,18 +181,24 @@ class StreamingBatcher:
         self._step_fn = self._build_step_fn()
         from msmd_tpu.models.diffusion import MSMD
 
+        # variables are a jit ARGUMENT, not a closure capture: closed-over
+        # arrays are baked into the HLO as literals, and hubert-base's
+        # ~95M params make the remote-compile payload exceed the axon
+        # tunnel's request-size limit (HTTP 413). Passing them as device
+        # buffers ships them once and keeps the program small.
+        self._dev_vars = jax.device_put(variables)
         self._extract = jax.jit(
-            lambda a: model.apply(variables, a, method=MSMD.extract_audio_feature)
+            lambda v, a: model.apply(v, a, method=MSMD.extract_audio_feature)
         )
 
     # ------------------------------------------------------------------
     def _build_step_fn(self):
-        model, variables, cfg = self.model, self.variables, self.cfg
+        model, cfg = self.model, self.cfg
         T, L, D = cfg.n_diff_steps, cfg.n_motions, cfg.motion_feat_dim
-        params = variables["params"]
         use_ind = cfg.use_indicator
 
-        def step(window_keys, audio_feat, shape, style, prev_m, prev_a, mT_carry, is_first, indicator):
+        def step(variables, window_keys, audio_feat, shape, style, prev_m, prev_a, mT_carry, is_first, indicator):
+            params = variables["params"]
             # slot-local draws: stream identity, not batch composition,
             # determines every random number
             z = jax.vmap(lambda k: jax.random.normal(jax.random.fold_in(k, 1), (T, L, D)))(window_keys)
@@ -302,9 +308,9 @@ class StreamingBatcher:
         # idle slots: dummy keys (their rows are computed and discarded)
         window_keys.extend(jax.random.PRNGKey(0) for _ in range(S - len(ready)))
 
-        feat = self._extract(jnp.asarray(audio))
+        feat = self._extract(self._dev_vars, jnp.asarray(audio))
         motion, mT_out, audio_feat_out = self._step_fn(
-            jnp.stack(window_keys), feat, jnp.asarray(shape), jnp.asarray(style),
+            self._dev_vars, jnp.stack(window_keys), feat, jnp.asarray(shape), jnp.asarray(style),
             jnp.asarray(prev_m), jnp.asarray(prev_a), jnp.asarray(mT),
             jnp.asarray(is_first), jnp.asarray(indicator),
         )
