@@ -166,8 +166,13 @@ def _measure():
     # execution is lazy and block_until_ready() does not block.
     float(fn(variables, key, audio, shape, style))
 
+    # batch-1 windows are ~80 ms, so the min-of-3 convention leaves the
+    # tunnel's per-session jitter (±6% observed on byte-identical
+    # programs, r5 rows b1_default vs b1_vmw_f32) in the reading; small
+    # batches take more reps for the min to converge.
+    n_timing = int(os.environ.get("MSMD_BENCH_TIMING_REPS", "12" if n_reps <= 4 else "3"))
     times = []
-    for i in range(3):
+    for i in range(n_timing):
         t0 = time.perf_counter()
         v = float(fn(variables, jax.random.fold_in(key, i), audio, shape, style))
         times.append(time.perf_counter() - t0)

@@ -45,7 +45,8 @@ def main():
     dtype = os.environ.get("MSMD_TRAIN_BENCH_DTYPE", "bfloat16")
     fused_ffn_train = os.environ.get("MSMD_TRAIN_FUSED_FFN", "0") == "1"
     remat = os.environ.get("MSMD_TRAIN_REMAT", "0") == "1"
-    band_train = os.environ.get("MSMD_TRAIN_IDENTITY_BAND", "0") == "1"
+    # identity-band training is the production default since r5 (config.py)
+    band_train = os.environ.get("MSMD_TRAIN_IDENTITY_BAND", "1") == "1"
     two_clip = os.environ.get("MSMD_TRAIN_TWO_CLIP", "0") == "1"
 
     cfg = MSMDConfig(batch_size=batch, compute_dtype=dtype,

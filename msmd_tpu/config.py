@@ -91,15 +91,18 @@ class MSMDConfig:
     # the in-kernel TPU PRNG (statistically equivalent to flax dropout,
     # same RNG-bound class as SpecAugment — PARITY.md)
     fused_ffn_train: bool = False
-    # TPU extra (opt-in): use the identity-band cross-attention rewrite
-    # in TRAINING too (align_mask_width == 1 only). The width-1 band
-    # makes every motion row's softmax a one-hot, so training-mode
-    # attention-weight dropout on that row reduces to a per-(batch,
-    # row, head) Bernoulli on the gathered V row — statistically
-    # equivalent to the reference's full-matrix weight dropout, same
-    # RNG-bound class as SpecAugment (PARITY.md). Kills the (B, H, Lq,
-    # Lm) cross logits/softmax in BOTH passes of the train step.
-    identity_band_train: bool = False
+    # TPU extra (DEFAULT since r5): use the identity-band cross-attention
+    # rewrite in TRAINING too (engages only when align_mask_width == 1).
+    # The width-1 band makes every motion row's softmax a one-hot, so
+    # training-mode attention-weight dropout on that row reduces to a
+    # per-(batch, row, head) Bernoulli on the gathered V row —
+    # statistically equivalent to the reference's full-matrix weight
+    # dropout, same RNG-bound class as SpecAugment (PARITY.md). Kills the
+    # (B, H, Lq, Lm) cross logits/softmax in BOTH passes of the train
+    # step. Measured r5 on v5e (BENCH.md): 10.15 pipelined steps/s vs
+    # 9.94 baseline, pipelined MFU 0.308. --no_identity_band_train
+    # restores the reference-shaped softmax path.
+    identity_band_train: bool = True
     # TPU extra (opt-in): gradient-checkpoint each decoder layer —
     # recompute activations in the backward pass; for batch > 64 where
     # activation memory dominates

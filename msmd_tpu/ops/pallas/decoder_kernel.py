@@ -532,9 +532,13 @@ def _decoder_kernel(*refs, n_heads: int, identity_band: bool, per_entry: int = 0
 
 
 def _merged_person_env():
-    """Trace-time: MSMD_MERGED_PERSON=1 opts the throughput kernels into
-    merged-head person cross-attention (see _layer_compute)."""
-    return os.environ.get("MSMD_MERGED_PERSON", "0") == "1"
+    """Trace-time: merged-head person cross-attention (see
+    _layer_compute). DEFAULT since r5 — measured fastest at BOTH batch
+    shapes on v5e (BENCH.md r5: batch-1 52.1x vs 46-49x, batch-48 97.4x
+    vs 95.9x; exact rewrite, only f32-accumulation pairing differs).
+    MSMD_MERGED_PERSON=0 restores per-head person cross dots. Engages
+    only where the fast softmax is active (bf16), like the fallback."""
+    return os.environ.get("MSMD_MERGED_PERSON", "1") == "1"
 
 
 def _pad_rows(x, pad_lq):

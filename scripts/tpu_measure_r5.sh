@@ -50,12 +50,17 @@ run b1_blockdiag      1800 $S1 MSMD_SCAN_BLOCKDIAG=1 $BI
 run b1_merged_person  1800 $S1 MSMD_MERGED_PERSON=1 $BI
 run b1_bd_mp          1800 $S1 MSMD_SCAN_BLOCKDIAG=1 MSMD_MERGED_PERSON=1 $BI
 run b1_bd_mp_f32      1800 $S1 MSMD_SCAN_BLOCKDIAG=1 MSMD_MERGED_PERSON=1 MSMD_VMW_F32=1 $BI
+run b1_bd_nopad       1800 $S1 MSMD_SCAN_BLOCKDIAG=1 MSMD_SCAN_PAD=0 $BI
+run b1_bd_mp_nopad    1800 $S1 MSMD_SCAN_BLOCKDIAG=1 MSMD_MERGED_PERSON=1 MSMD_SCAN_PAD=0 $BI
 
 # ---- B: training knobs at the paper config (MFU target >=0.30) ---------
-run train_baseline    2400 $BT
-run train_2clip       2400 MSMD_TRAIN_TWO_CLIP=1 $BT
-run train_fused_ffn   2400 MSMD_TRAIN_FUSED_FFN=1 $BT
-run train_2clip_ffn   2400 MSMD_TRAIN_TWO_CLIP=1 MSMD_TRAIN_FUSED_FFN=1 $BT
+# NOTE: identity-band training became the bench_train DEFAULT mid-round
+# (config.py r5 promotion); these tags predate that, so band is pinned
+# off explicitly to keep the tag names truthful.
+run train_baseline    2400 MSMD_TRAIN_IDENTITY_BAND=0 $BT
+run train_2clip       2400 MSMD_TRAIN_IDENTITY_BAND=0 MSMD_TRAIN_TWO_CLIP=1 $BT
+run train_fused_ffn   2400 MSMD_TRAIN_IDENTITY_BAND=0 MSMD_TRAIN_FUSED_FFN=1 $BT
+run train_2clip_ffn   2400 MSMD_TRAIN_IDENTITY_BAND=0 MSMD_TRAIN_TWO_CLIP=1 MSMD_TRAIN_FUSED_FFN=1 $BT
 run train_band        2400 MSMD_TRAIN_IDENTITY_BAND=1 $BT
 run train_ffn_band    2400 MSMD_TRAIN_FUSED_FFN=1 MSMD_TRAIN_IDENTITY_BAND=1 $BT
 run train_2clip_band  2400 MSMD_TRAIN_TWO_CLIP=1 MSMD_TRAIN_IDENTITY_BAND=1 $BT
@@ -64,7 +69,7 @@ run train_remat       2400 MSMD_TRAIN_REMAT=1 $BT
 
 # ---- C: batch-48 throughput knobs --------------------------------------
 S48="MSMD_BENCH_INNER=1 MSMD_BENCH_TRAIN=0"
-run b48_default       1800 $S48 $BI
+run b48_default       2700 $S48 $BI
 run b48_merged_person 1800 $S48 MSMD_MERGED_PERSON=1 $BI
 run b48_decoder_pad   1800 $S48 MSMD_DECODER_PAD=1 $BI
 run b48_resident      1800 $S48 MSMD_DECODER_RESIDENT=1 $BI
@@ -78,7 +83,17 @@ run b48_windows5      2400 $S48 MSMD_BENCH_WINDOWS=5 $BI
 run serve_48slots     2400 MSMD_SERVE_SLOTS=48 $SP
 run serve_16slots     1800 MSMD_SERVE_SLOTS=16 $SP
 
-TOTAL=$(grep -c '^run ' "$0")
+# ---- F: train-MFU attribution probe (multi-line output -> its own file) -
+if ! grep -q '"mfu_probe_done"' "$OUT" 2>/dev/null; then
+  echo "--- [mfu_probe] train_mfu_probe.py -> /tmp/r5_mfu_probe.jsonl"
+  if timeout 2400 python benchmarks/train_mfu_probe.py > /tmp/r5_mfu_probe.jsonl 2>/tmp/r5_err.log; then
+    echo '{"tag":"mfu_probe_done","result":"see /tmp/r5_mfu_probe.jsonl"}' >> "$OUT"
+  else
+    echo "    FAIL (see /tmp/r5_err.log)"
+  fi
+fi
+
+TOTAL=$(($(grep -c '^run ' "$0") + 1))  # +1: the mfu_probe block above
 OKC=$(grep -c '^{"tag":.*,"result":' "$OUT" 2>/dev/null || echo 0)
 echo "=== done; $OKC/$TOTAL measured OK; results in $OUT ==="
 cat "$OUT"

@@ -110,9 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="cap batches per periodic-validation round (<=0 = reference full-epoch semantics)")
     parser.add_argument("--fused_ffn_train", action="store_true",
                         help="training FFN+dropout+LN as a Pallas kernel with custom VJP (in-kernel PRNG dropout)")
-    parser.add_argument("--identity_band_train", action="store_true",
+    parser.add_argument("--identity_band_train", action=argparse.BooleanOptionalAction, default=True,
                         help="identity-band cross-attention in training too (width-1 band; one-hot weight "
-                             "dropout becomes a Bernoulli on the gathered V rows — statistically equivalent)")
+                             "dropout becomes a Bernoulli on the gathered V rows — statistically equivalent; "
+                             "DEFAULT since r5, measured +2%% steps/s — --no_identity_band_train restores "
+                             "the reference-shaped softmax path)")
     parser.add_argument("--remat_denoiser", action="store_true",
                         help="gradient-checkpoint the decoder layers (recompute activations in backward)")
     parser.add_argument("--two_clip_batch", action="store_true",
