@@ -9,11 +9,13 @@ reused across requests; `warmup` pre-compiles for given audio lengths
 so first-request latency is flat.
 
 `StreamingBatcher` serves MANY concurrent live streams at the batched
-sampler's aggregate rate: single-stream sampling is latency-bound
-(~47x real time per chip, BENCH.md) while the batch-48 program is ~96x
-PER CHIP aggregate — so a slot-based micro-batcher that runs every
-pending 4 s window of every stream as ONE fixed-shape sample() call
-serves ~2x more streams per chip than per-stream serving.
+sampler's aggregate rate by running every pending 4 s window of every
+stream as ONE fixed-shape sample() call. Measured on one v5e chip
+(BENCH.md r5 serving rows): 48 slots sustain **74.3 aggregate
+audio-seconds/sec** (each stream at 1.55x real-time headroom) vs 52.1
+audio-sec/s for per-request single-stream serving — 1.4x more
+throughput, and 48 concurrent live streams on one chip where
+per-request serving would queue.
 
 Example:
     gen = MotionGenerator.from_experiment(root, name, "0470000", coef_stats)
