@@ -10,12 +10,15 @@ so first-request latency is flat.
 
 `StreamingBatcher` serves MANY concurrent live streams at the batched
 sampler's aggregate rate by running every pending 4 s window of every
-stream as ONE fixed-shape sample() call. Measured on one v5e chip
-(BENCH.md r5 serving rows): 48 slots sustain **74.3 aggregate
-audio-seconds/sec** (each stream at 1.55x real-time headroom) vs 52.1
-audio-sec/s for per-request single-stream serving — 1.4x more
-throughput, and 48 concurrent live streams on one chip where
-per-request serving would queue.
+stream as ONE fixed-shape sample() call, with the autoregressive
+carries device-resident in slot-indexed arrays (only the generated
+motion is fetched per round). Measured on one v5e chip (BENCH.md r5
+serving rows): 48 slots sustain **82.1 aggregate audio-seconds/sec**
+(each stream at 1.71x real-time headroom) vs 52.1 audio-sec/s for
+per-request single-stream serving — 1.6x more throughput, and 48
+concurrent live streams on one chip where per-request serving would
+queue. `stream_carry` / `set_stream_carry` export/import a live
+stream's state for migration between serving processes.
 
 Example:
     gen = MotionGenerator.from_experiment(root, name, "0470000", coef_stats)
@@ -116,15 +119,16 @@ class MotionGenerator:
 
 @dataclass
 class _Stream:
-    key: jax.Array                       # per-stream RNG root
+    key_data: np.ndarray                 # per-stream RNG root (raw uint32 key data)
     style: np.ndarray                    # (d_style,)
     shape: np.ndarray                    # (shape_feat_dim,)
     buffer: np.ndarray                   # pending 16 kHz z-scored samples
     final: bool = False                  # no more audio will arrive
     window_idx: int = 0
-    prev_motion: Optional[np.ndarray] = None   # (n_prev, D) carry
-    prev_audio: Optional[np.ndarray] = None    # (n_prev, F) carry
-    motion_at_T: Optional[np.ndarray] = None   # (L, D) window-0 draw, reused
+    slot: Optional[int] = None           # device-resident carry slot (None = evicted/new)
+    prev_motion: Optional[np.ndarray] = None   # (n_prev, D) carry (host copy when evicted)
+    prev_audio: Optional[np.ndarray] = None    # (n_prev, F) carry (host copy when evicted)
+    motion_at_T: Optional[np.ndarray] = None   # (L, D) window-0 draw (host copy when evicted)
     outputs: List[np.ndarray] = field(default_factory=list)
     finished: bool = False
 
@@ -192,15 +196,39 @@ class StreamingBatcher:
         self._extract = jax.jit(
             lambda v, a: model.apply(v, a, method=MSMD.extract_audio_feature)
         )
+        # DEVICE-RESIDENT per-slot autoregressive carries. The naive
+        # round loop fetched the full audio-feature tensor plus all
+        # carries to host and re-uploaded them next round (~45 MB of
+        # tunnel traffic per round at 48 slots — measured as ~0.6 s of
+        # the 2.58 s round wall, BENCH.md r5). Carries now live on
+        # device, keyed by slot; only the generated motion (1.3 MB) is
+        # fetched. A stream's carry is materialized on host only when
+        # its slot is evicted (oversubscription churn).
+        S, P, L = self.max_slots, self.cfg.n_prev_motions, self.cfg.n_motions
+        D = self.cfg.motion_feat_dim
+        F = int(params["start_audio_feat"].shape[-1])
+        self._slot_sid: List[Optional[str]] = [None] * S
+        self._dev_prev_m = jnp.zeros((S, P, D), jnp.float32)
+        # f32 like the host staging arrays it replaces (the old path
+        # round-tripped bf16 features through np.float32 — exact widening)
+        self._dev_prev_a = jnp.zeros((S, P, F), jnp.float32)
+        self._dev_mT = jnp.zeros((S, L, D), jnp.float32)
+        self._dev_key_data = jnp.zeros((S, 2), jnp.uint32)
 
     # ------------------------------------------------------------------
     def _build_step_fn(self):
         model, cfg = self.model, self.cfg
-        T, L, D = cfg.n_diff_steps, cfg.n_motions, cfg.motion_feat_dim
+        T, L, D, P = cfg.n_diff_steps, cfg.n_motions, cfg.motion_feat_dim, cfg.n_prev_motions
         use_ind = cfg.use_indicator
 
-        def step(variables, window_keys, audio_feat, shape, style, prev_m, prev_a, mT_carry, is_first, indicator):
+        def step(variables, key_data, window_idx, audio_feat, shape, style,
+                 prev_m, prev_a, mT_carry, is_first, served, indicator):
             params = variables["params"]
+            # per-window keys derived IN-PROGRAM from the device-resident
+            # per-slot key roots (raw uint32 threefry data): same
+            # fold_in(root, window_idx) the host loop used to dispatch
+            # per stream, minus ~S tiny tunnel round trips per round
+            window_keys = jax.vmap(jax.random.fold_in)(key_data, window_idx)
             # slot-local draws: stream identity, not batch composition,
             # determines every random number
             z = jax.vmap(lambda k: jax.random.normal(jax.random.fold_in(k, 1), (T, L, D)))(window_keys)
@@ -217,7 +245,14 @@ class StreamingBatcher:
                 dynamic_threshold=self.dynamic_threshold,
                 noise_override=jnp.swapaxes(z, 0, 1),  # (T, S, L, D)
             )
-            return motion, mT_out, audio_out
+            # next-round carries, updated in place on device; slots not
+            # served this round keep their previous carry (f32 exactly as
+            # the host staging arrays this replaces — bf16 features widen)
+            sv = served[:, None, None]
+            new_prev_m = jnp.where(sv, motion[:, -P:].astype(jnp.float32), prev_m)
+            new_prev_a = jnp.where(sv, audio_out[:, -P:].astype(jnp.float32), prev_a)
+            new_mT = jnp.where(sv, mT_out.astype(jnp.float32), mT_carry)
+            return motion, new_prev_m, new_prev_a, new_mT
 
         return jax.jit(step)
 
@@ -225,7 +260,9 @@ class StreamingBatcher:
     def add_stream(self, sid: str, key: jax.Array, style: Optional[np.ndarray] = None, shape: Optional[np.ndarray] = None):
         """Register a stream. ``style`` is a (d_style,) embedding (null
         embedding used when None); ``shape`` a (shape_feat_dim,) FLAME
-        shape code (zeros when None, like MotionGenerator.generate)."""
+        shape code (zeros when None, like MotionGenerator.generate).
+        ``key`` is the stream's RNG root — a PRNGKey (raw uint32) or a
+        typed threefry key array."""
         assert sid not in self._streams, f"stream {sid} already registered"
         if style is None:
             if self._null_style is None:
@@ -233,9 +270,14 @@ class StreamingBatcher:
             style = self._null_style
         if shape is None:
             shape = np.zeros((self.cfg.shape_feat_dim,), np.float32)
+        kdt = getattr(key, "dtype", None)
+        if kdt is not None and jnp.issubdtype(kdt, jax.dtypes.prng_key):
+            key = jax.random.key_data(key)
+        key_data = np.asarray(key, np.uint32)
+        assert key_data.shape == (2,), f"expected a threefry key, got key data {key_data.shape}"
         self._streams[sid] = _Stream(
-            key=key, style=np.asarray(style, np.float32), shape=np.asarray(shape, np.float32),
-            buffer=np.zeros((0,), np.float32),
+            key_data=key_data, style=np.asarray(style, np.float32),
+            shape=np.asarray(shape, np.float32), buffer=np.zeros((0,), np.float32),
         )
 
     def push_audio(self, sid: str, samples: np.ndarray, final: bool = False):
@@ -256,7 +298,41 @@ class StreamingBatcher:
         return self._streams[sid].finished
 
     def remove_stream(self, sid: str):
-        del self._streams[sid]
+        s = self._streams.pop(sid)
+        if s.slot is not None:
+            self._slot_sid[s.slot] = None
+
+    def stream_carry(self, sid: str):
+        """Materialize a stream's autoregressive carry on host:
+        ``(prev_motion, prev_audio_features, motion_at_T)`` — all None
+        before the first window. With set_stream_carry this is the
+        export half of live-stream migration between serving processes."""
+        s = self._streams[sid]
+        if s.slot is None or s.window_idx == 0:
+            return s.prev_motion, s.prev_audio, s.motion_at_T
+        return tuple(
+            np.asarray(a)
+            for a in jax.device_get(
+                (self._dev_prev_m[s.slot], self._dev_prev_a[s.slot], self._dev_mT[s.slot])
+            )
+        )
+
+    def set_stream_carry(self, sid: str, prev_motion=None, prev_audio=None, motion_at_T=None):
+        """Override parts of a stream's carry (live-migration import;
+        also the test hook for carry corruption). Device-resident slots
+        are updated in place; None leaves that component unchanged."""
+        s = self._streams[sid]
+        cur = self.stream_carry(sid)
+        pm = cur[0] if prev_motion is None else np.asarray(prev_motion, np.float32)
+        pa = cur[1] if prev_audio is None else np.asarray(prev_audio, np.float32)
+        mt = cur[2] if motion_at_T is None else np.asarray(motion_at_T, np.float32)
+        if s.slot is None:
+            s.prev_motion, s.prev_audio, s.motion_at_T = pm, pa, mt
+        else:
+            i = s.slot
+            self._dev_prev_m = self._dev_prev_m.at[i].set(pm)
+            self._dev_prev_a = self._dev_prev_a.at[i].set(pa)
+            self._dev_mT = self._dev_mT.at[i].set(mt)
 
     # ------------------------------------------------------------------
     def _ready_ids(self) -> List[str]:
@@ -266,11 +342,57 @@ class StreamingBatcher:
             if not s.finished and (len(s.buffer) >= n_a or (s.final and len(s.buffer) > 0))
         ]
 
+    def _assign_slots(self, ready: List[str]) -> None:
+        """Give every served stream a carry slot, evicting (= one batched
+        carry fetch to host) slotted-but-unserved streams only when the
+        round is oversubscribed."""
+        served = set(ready)
+        for i, sid in enumerate(self._slot_sid):  # reap dead occupants
+            if sid is not None and (sid not in self._streams or self._streams[sid].finished):
+                if sid in self._streams:
+                    self._streams[sid].slot = None
+                self._slot_sid[i] = None
+        need = [sid for sid in ready if self._streams[sid].slot is None]
+        if not need:
+            return
+        free = [i for i, sid in enumerate(self._slot_sid) if sid is None]
+        short = len(need) - len(free)
+        if short > 0:
+            evict = [i for i, sid in enumerate(self._slot_sid)
+                     if sid is not None and sid not in served][:short]
+            idx = np.asarray(evict)
+            pm, pa, mt = jax.device_get(
+                (self._dev_prev_m[idx], self._dev_prev_a[idx], self._dev_mT[idx])
+            )
+            for j, i in enumerate(evict):
+                ev = self._streams[self._slot_sid[i]]
+                ev.prev_motion, ev.prev_audio, ev.motion_at_T = pm[j], pa[j], mt[j]
+                ev.slot, self._slot_sid[i] = None, None
+            free.extend(evict)
+        key_idx, key_vals, up_idx, up_pm, up_pa, up_mt = [], [], [], [], [], []
+        for sid in need:
+            s, i = self._streams[sid], free.pop(0)
+            s.slot, self._slot_sid[i] = i, sid
+            key_idx.append(i)
+            key_vals.append(s.key_data)
+            if s.window_idx > 0:  # rejoining after eviction: restore carry
+                up_idx.append(i)
+                up_pm.append(s.prev_motion)
+                up_pa.append(s.prev_audio)
+                up_mt.append(s.motion_at_T)
+        ki = np.asarray(key_idx)
+        self._dev_key_data = self._dev_key_data.at[ki].set(np.stack(key_vals))
+        if up_idx:
+            ui = np.asarray(up_idx)
+            self._dev_prev_m = self._dev_prev_m.at[ui].set(np.stack(up_pm))
+            self._dev_prev_a = self._dev_prev_a.at[ui].set(np.stack(up_pa))
+            self._dev_mT = self._dev_mT.at[ui].set(np.stack(up_mt))
+
     def step(self) -> int:
         """Run one scheduling round; returns the number of stream-windows
         processed (0 = nothing was ready)."""
         cfg = self.cfg
-        n_a, L, D, P = cfg.n_audio_samples, cfg.n_motions, cfg.motion_feat_dim, cfg.n_prev_motions
+        n_a, L = cfg.n_audio_samples, cfg.n_motions
         ready = self._ready_ids()
         if not ready:
             return 0
@@ -280,52 +402,47 @@ class StreamingBatcher:
             ready = (ready + ready)[self._rr : self._rr + self.max_slots]
             self._rr += self.max_slots
         S = self.max_slots
-        F = int(self.variables["params"]["start_audio_feat"].shape[-1])
+        self._assign_slots(ready)
 
         audio = np.zeros((S, n_a), np.float32)
         shape = np.zeros((S, cfg.shape_feat_dim), np.float32)
         style = np.zeros((S, cfg.d_style), np.float32)
-        prev_m = np.zeros((S, P, D), np.float32)
-        prev_a = np.zeros((S, P, F), np.float32)
-        mT = np.zeros((S, L, D), np.float32)
+        widx = np.zeros((S,), np.int32)
         is_first = np.ones((S,), bool)
+        served = np.zeros((S,), bool)
         indicator = np.ones((S, L), np.float32)
-        window_keys = []
-        pad_frames = [0] * S
+        pad_frames: Dict[str, int] = {}
 
-        for i, sid in enumerate(ready):
+        for sid in ready:
             s = self._streams[sid]
+            i = s.slot
             take = min(len(s.buffer), n_a)
             audio[i, :take] = s.buffer[:take]
             s.buffer = s.buffer[take:]
             if take < n_a:  # final partial window (same formula as
                 # infer_coeffs / reference inference.py:41-44)
-                pad_frames[i] = min(L, math.ceil((n_a - take) / cfg.audio_unit))
-                indicator[i, L - pad_frames[i] :] = 0.0
+                pad_frames[sid] = min(L, math.ceil((n_a - take) / cfg.audio_unit))
+                indicator[i, L - pad_frames[sid] :] = 0.0
             shape[i], style[i] = s.shape, s.style
-            if s.window_idx > 0:
-                prev_m[i], prev_a[i], mT[i] = s.prev_motion, s.prev_audio, s.motion_at_T
-                is_first[i] = False
-            window_keys.append(jax.random.fold_in(s.key, s.window_idx))
-        # idle slots: dummy keys (their rows are computed and discarded)
-        window_keys.extend(jax.random.PRNGKey(0) for _ in range(S - len(ready)))
+            widx[i] = s.window_idx
+            is_first[i] = s.window_idx == 0
+            served[i] = True
 
         feat = self._extract(self._dev_vars, jnp.asarray(audio))
-        motion, mT_out, audio_feat_out = self._step_fn(
-            self._dev_vars, jnp.stack(window_keys), feat, jnp.asarray(shape), jnp.asarray(style),
-            jnp.asarray(prev_m), jnp.asarray(prev_a), jnp.asarray(mT),
-            jnp.asarray(is_first), jnp.asarray(indicator),
+        motion, self._dev_prev_m, self._dev_prev_a, self._dev_mT = self._step_fn(
+            self._dev_vars, self._dev_key_data, jnp.asarray(widx), feat,
+            jnp.asarray(shape), jnp.asarray(style),
+            self._dev_prev_m, self._dev_prev_a, self._dev_mT,
+            jnp.asarray(is_first), jnp.asarray(served), jnp.asarray(indicator),
         )
-        # one host fetch for the round (the axon tunnel executes lazily;
-        # each separate fetch is a full roundtrip)
-        motion, mT_out, audio_feat_out = jax.device_get((motion, mT_out, audio_feat_out))
+        # ONE host fetch per round, and only of the generated motion —
+        # the autoregressive carries stay on device in their slots
+        motion = jax.device_get(motion)
 
-        for i, sid in enumerate(ready):
+        for sid in ready:
             s = self._streams[sid]
-            s.prev_motion = motion[i, -P:]
-            s.prev_audio = audio_feat_out[i, -P:]
-            s.motion_at_T = mT_out[i]
-            out = motion[i, : L - pad_frames[i]] if pad_frames[i] else motion[i]
+            pf = pad_frames.get(sid, 0)
+            out = motion[s.slot, : L - pf] if pf else motion[s.slot]
             s.outputs.append(out)
             s.window_idx += 1
             if s.final and len(s.buffer) == 0:

@@ -111,13 +111,13 @@ def test_multi_window_carry_and_noise_reuse(setup):
     bat.push_audio("s", audio, final=True)
     assert bat.step() == 1 and not bat.finished("s")
     w0 = bat.output("s").copy()
-    st = bat._streams["s"]
+    prev_motion, _, motion_at_T = bat.stream_carry("s")
     # the carry IS the last n_prev generated frames
-    np.testing.assert_array_equal(st.prev_motion, w0[-cfg.n_prev_motions:])
+    np.testing.assert_array_equal(prev_motion, w0[-cfg.n_prev_motions:])
     # motion_at_T is reused, not redrawn, across windows
     k_w = jax.random.fold_in(key, 0)
     mT0 = jax.random.normal(jax.random.fold_in(k_w, 0), (cfg.n_motions, cfg.motion_feat_dim))
-    np.testing.assert_allclose(st.motion_at_T, np.asarray(mT0), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(motion_at_T, np.asarray(mT0), rtol=1e-6, atol=1e-6)
 
     assert bat.step() == 1 and bat.finished("s")
     full = bat.output("s")
@@ -128,7 +128,8 @@ def test_multi_window_carry_and_noise_reuse(setup):
     bat2.add_stream("s", key, style=style)
     bat2.push_audio("s", audio, final=True)
     bat2.step()
-    bat2._streams["s"].prev_motion = bat2._streams["s"].prev_motion + 1.0
+    pm2, _, _ = bat2.stream_carry("s")
+    bat2.set_stream_carry("s", prev_motion=pm2 + 1.0)
     bat2.step()
     assert not np.allclose(bat2.output("s")[cfg.n_motions:], full[cfg.n_motions:])
 
@@ -163,3 +164,62 @@ def test_round_robin_oversubscription(setup):
     assert rounds == 3  # ceil(5/2)
     for i in range(5):
         assert bat.output(f"s{i}").shape == (cfg.n_motions, cfg.motion_feat_dim)
+
+
+def test_eviction_carry_roundtrip_exact(setup):
+    """Multi-window streams oversubscribed on fewer slots: slot eviction
+    (device -> host carry export) and re-admission (host -> device
+    restore) must preserve every stream's output vs the same stream
+    served alone. The comparison crosses two program shapes (2-slot vs
+    1-slot batch), so it is tolerance-based like test_stream_isolation;
+    the BIT-exactness of the carry roundtrip itself is proven at equal
+    program shape by test_stream_carry_migration."""
+    cfg, model, variables = setup
+    n_streams, n_windows = 3, 2
+
+    def run_alone(i):
+        bat = StreamingBatcher(model, variables, max_slots=1)
+        bat.add_stream("s", jax.random.PRNGKey(40 + i), style=_style(cfg, 40 + i))
+        bat.push_audio("s", _audio(cfg, n_windows, seed=40 + i), final=True)
+        bat.run_until_drained()
+        return bat.output("s")
+
+    bat = StreamingBatcher(model, variables, max_slots=2)
+    for i in range(n_streams):
+        bat.add_stream(f"s{i}", jax.random.PRNGKey(40 + i), style=_style(cfg, 40 + i))
+        bat.push_audio(f"s{i}", _audio(cfg, n_windows, seed=40 + i), final=True)
+    total = bat.run_until_drained()
+    assert total == n_streams * n_windows
+    evicted_ever = any(s.prev_motion is not None for s in bat._streams.values())
+    assert evicted_ever, "test setup failed to exercise the eviction path"
+    for i in range(n_streams):
+        np.testing.assert_allclose(bat.output(f"s{i}"), run_alone(i), rtol=1e-5, atol=1e-6)
+
+
+def test_stream_carry_migration(setup):
+    """Export a mid-clip stream from one batcher and import it into a
+    fresh one (process migration); the migrated stream's remaining
+    output is identical to staying put."""
+    cfg, model, variables = setup
+    key, style = jax.random.PRNGKey(77), _style(cfg, 77)
+    audio = _audio(cfg, 2, seed=77)
+    n_a = cfg.n_audio_samples
+
+    bat = StreamingBatcher(model, variables, max_slots=1)
+    bat.add_stream("s", key, style=style)
+    bat.push_audio("s", audio, final=True)
+    assert bat.step() == 1
+    stay = bat
+    carry = stay.stream_carry("s")
+
+    mig = StreamingBatcher(model, variables, max_slots=1)
+    mig.add_stream("s", key, style=style)
+    mig._streams["s"].window_idx = stay._streams["s"].window_idx
+    mig.set_stream_carry("s", *carry)  # import before the first step
+    mig.push_audio("s", audio[n_a:], final=True)
+    mig.step()
+
+    stay.step()
+    np.testing.assert_array_equal(
+        stay.output("s")[cfg.n_motions:], mig.output("s")
+    )
