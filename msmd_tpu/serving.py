@@ -17,7 +17,10 @@ serving rows): 48 slots sustain **82.1 aggregate audio-seconds/sec**
 (each stream at 1.71x real-time headroom) vs 52.1 audio-sec/s for
 per-request single-stream serving — 1.6x more throughput, and 48
 concurrent live streams on one chip where per-request serving would
-queue. `stream_carry` / `set_stream_carry` export/import a live
+queue. ``pipeline_depth=k`` additionally amortizes the host round trip
+over k dispatched rounds (measured 91.0 audio-sec/s at depth 4 — 93%
+of the raw batch-48 sampler rate — for up to k-1 rounds of output
+lag). `stream_carry` / `set_stream_carry` export/import a live
 stream's state for migration between serving processes.
 
 Example:
@@ -171,6 +174,7 @@ class StreamingBatcher:
         cfg_cond=None,
         cfg_scale: float = 1.15,
         dynamic_threshold: Optional[Tuple[float, float, float]] = None,
+        pipeline_depth: int = 1,
     ):
         self.model = model
         self.variables = variables
@@ -178,6 +182,15 @@ class StreamingBatcher:
         self.max_slots = int(max_slots)
         self.cfg_mode, self.cfg_cond, self.cfg_scale = cfg_mode, cfg_cond, cfg_scale
         self.dynamic_threshold = dynamic_threshold
+        # pipeline_depth > 1: dispatch up to that many rounds before
+        # fetching the oldest round's motion — because the carries are
+        # device-resident, round N+1's COMPUTE does not need round N's
+        # host fetch, so one tunnel round trip amortizes over k rounds
+        # (the serving twin of Trainer.fit's dispatch-all-fetch-once).
+        # Output delivery lags by up to (depth-1) rounds; depth 1 is the
+        # synchronous behavior.
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        self._pending: List[Tuple[jax.Array, List[str], Dict[str, int]]] = []
         self._streams: Dict[str, _Stream] = {}
         self._rr: int = 0  # round-robin fairness cursor
         self._null_style = None
@@ -290,7 +303,9 @@ class StreamingBatcher:
             s.finished = True
 
     def output(self, sid: str) -> np.ndarray:
-        """All frames generated so far, (n_frames, D)."""
+        """All frames generated so far, (n_frames, D). Resolves any
+        in-flight pipelined rounds first."""
+        self.flush()
         s = self._streams[sid]
         return np.concatenate(s.outputs, axis=0) if s.outputs else np.zeros((0, self.cfg.motion_feat_dim), np.float32)
 
@@ -435,19 +450,37 @@ class StreamingBatcher:
             self._dev_prev_m, self._dev_prev_a, self._dev_mT,
             jnp.asarray(is_first), jnp.asarray(served), jnp.asarray(indicator),
         )
-        # ONE host fetch per round, and only of the generated motion —
-        # the autoregressive carries stay on device in their slots
-        motion = jax.device_get(motion)
-
+        # window accounting advances at DISPATCH time (the next round's
+        # compute reads the device-resident carries, not host state);
+        # output delivery happens at resolve time, up to pipeline_depth-1
+        # rounds later
+        items = [(sid, self._streams[sid].slot, pad_frames.get(sid, 0)) for sid in ready]
         for sid in ready:
             s = self._streams[sid]
-            pf = pad_frames.get(sid, 0)
-            out = motion[s.slot, : L - pf] if pf else motion[s.slot]
-            s.outputs.append(out)
             s.window_idx += 1
             if s.final and len(s.buffer) == 0:
                 s.finished = True
+        self._pending.append((motion, items))
+        while len(self._pending) >= self.pipeline_depth:
+            self._resolve_oldest()
         return len(ready)
+
+    def _resolve_oldest(self) -> None:
+        """ONE host fetch, and only of the generated motion — the
+        autoregressive carries stay on device in their slots."""
+        motion, items = self._pending.pop(0)
+        motion = jax.device_get(motion)
+        L = self.cfg.n_motions
+        for sid, slot, pf in items:
+            s = self._streams.get(sid)
+            if s is None:  # stream removed while its round was in flight
+                continue
+            s.outputs.append(motion[slot, : L - pf] if pf else motion[slot])
+
+    def flush(self) -> None:
+        """Deliver every in-flight round's output (pipeline_depth > 1)."""
+        while self._pending:
+            self._resolve_oldest()
 
     def run_until_drained(self) -> int:
         """Step until no stream has a pending window; returns total
@@ -456,5 +489,6 @@ class StreamingBatcher:
         while True:
             n = self.step()
             if n == 0:
+                self.flush()
                 return total
             total += n

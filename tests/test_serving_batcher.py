@@ -223,3 +223,23 @@ def test_stream_carry_migration(setup):
     np.testing.assert_array_equal(
         stay.output("s")[cfg.n_motions:], mig.output("s")
     )
+
+
+def test_pipeline_depth_output_equality(setup):
+    """pipeline_depth only reorders host fetches (compute consumes the
+    device-resident carries): outputs are BIT-identical to the
+    synchronous depth-1 batcher, and finished/flush bookkeeping holds."""
+    cfg, model, variables = setup
+
+    def run(depth):
+        bat = StreamingBatcher(model, variables, max_slots=2, pipeline_depth=depth)
+        for i in range(2):
+            bat.add_stream(f"s{i}", jax.random.PRNGKey(60 + i), style=_style(cfg, 60 + i))
+            bat.push_audio(f"s{i}", _audio(cfg, 3, seed=60 + i), final=True)
+        assert bat.run_until_drained() == 6
+        assert all(bat.finished(f"s{i}") for i in range(2))
+        return [bat.output(f"s{i}") for i in range(2)]
+
+    sync, piped = run(1), run(3)
+    for a, b in zip(sync, piped):
+        np.testing.assert_array_equal(a, b)
