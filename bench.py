@@ -18,6 +18,10 @@ Reports ONE JSON line:
                same capture (MSMD_BENCH_BATCH1=0 skips).
   train_*      training-step throughput fields (BASELINE config 5),
                measured in the same capture (MSMD_BENCH_TRAIN=0 skips).
+  serving_*    StreamingBatcher multi-stream aggregate rate (16 slots,
+               pipeline_depth 4 — the highest-aggregate operator config
+               from BENCH.md's r5 serving table; MSMD_BENCH_SERVING=0
+               skips, _SLOTS/_DEPTH override).
   parity_f64_* cross-framework f64 semantic-parity figures from the
                full-pipeline CPU selftest (scripts/real_asset_parity.py;
                MSMD_BENCH_PARITY=0 skips).
@@ -275,6 +279,36 @@ def _emit_outage(detail, waited_s):
     )
 
 
+def _emit_partial_and_exit(state, signum):
+    """SIGTERM/SIGINT handler body: the driver wraps `python bench.py`
+    in a `timeout` (MULTICHIP_r04 was an rc=124 kill), and stdout to a
+    pipe is block-buffered — a mid-capture kill would otherwise lose
+    every byte. Emit the best-known record (the headline result with
+    whatever sections completed, or a structured outage line) and exit
+    0 so the driver always gets a JSON line."""
+    result = state.get("result")
+    if result is not None:
+        result = dict(result)
+        result["partial"] = f"capture killed by signal {signum} before all sections ran"
+        sys.stdout.write(json.dumps(result) + "\n")
+    else:
+        sys.stdout.write(
+            json.dumps(
+                {
+                    "metric": "audio->FLAME vertices real-time factor (1 chip) — NOT MEASURED",
+                    "value": 0.0,
+                    "unit": "x_realtime",
+                    "vs_baseline": 0.0,
+                    "error": "killed_before_headline",
+                    "detail": f"signal {signum} arrived before the headline measurement finished",
+                }
+            )
+            + "\n"
+        )
+    sys.stdout.flush()
+    os._exit(0)
+
+
 def main():
     if os.environ.get("MSMD_BENCH_INNER") == "1":
         _measure()
@@ -284,6 +318,12 @@ def main():
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         _measure()
         return
+
+    import signal
+
+    _partial_state = {"result": None}
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(_sig, lambda signum, frame: _emit_partial_and_exit(_partial_state, signum))
 
     probe_timeout = float(os.environ.get("MSMD_BENCH_PROBE_TIMEOUT", "120"))
     wait_budget = float(os.environ.get("MSMD_BENCH_WAIT_BUDGET", "900"))
@@ -337,6 +377,10 @@ def main():
             time.monotonic() - t_start,
         )
         return
+    # from here on a driver-side kill still yields this record (the
+    # sections below mutate `result` in place, so the handler always
+    # emits the latest completed superset)
+    _partial_state["result"] = result
 
     # 2b) batch-1 real-time factor in the same capture (VERDICT r4
     #     item 2: single-stream is the reference's actual deployment
@@ -355,6 +399,32 @@ def main():
             result["batch1_window_wall_s"] = b1.get("window_wall_s")
         else:
             result["batch1_error"] = (
+                f"rc={rc} " + (err.strip().splitlines()[-1] if (err or "").strip() else "")
+            )[:300]
+
+    # 2c) multi-stream serving aggregate rate in the same capture: the
+    #     StreamingBatcher at 16 slots with round pipelining (depth 4) —
+    #     the highest-aggregate operator configuration measured in r5
+    #     (BENCH.md serving table; 91.5 audio-sec/s, 5.7x per-stream
+    #     headroom). The metric string names the exact configuration;
+    #     failure or MSMD_BENCH_SERVING=0 just omits the fields.
+    if os.environ.get("MSMD_BENCH_SERVING", "1") == "1":
+        rc, out, err = _run_sub(
+            [sys.executable, os.path.join(_REPO, "benchmarks", "serving_probe.py")],
+            float(os.environ.get("MSMD_BENCH_SERVING_TIMEOUT", "1500")),
+            extra_env={
+                "MSMD_SERVE_SLOTS": os.environ.get("MSMD_BENCH_SERVING_SLOTS", "16"),
+                "MSMD_SERVE_DEPTH": os.environ.get("MSMD_BENCH_SERVING_DEPTH", "4"),
+                "MSMD_SERVE_ROUNDS": "4",
+            },
+        )
+        serve = _last_json_line(out) if rc == 0 else None
+        if serve is not None:
+            result["serving_agg_audio_sec_per_sec"] = serve.get("value")
+            result["serving_per_stream_rt"] = serve.get("per_stream_rt")
+            result["serving_metric"] = serve.get("metric")
+        else:
+            result["serving_error"] = (
                 f"rc={rc} " + (err.strip().splitlines()[-1] if (err or "").strip() else "")
             )[:300]
 
