@@ -19,8 +19,8 @@ Reports ONE JSON line:
   train_*      training-step throughput fields (BASELINE config 5),
                measured in the same capture (MSMD_BENCH_TRAIN=0 skips).
   serving_*    StreamingBatcher multi-stream aggregate rate (16 slots,
-               pipeline_depth 4 — the highest-aggregate operator config
-               from BENCH.md's r5 serving table; MSMD_BENCH_SERVING=0
+               pipeline_depth 8 — the measured high-throughput operator
+               point, BENCH.md r5 serving table; MSMD_BENCH_SERVING=0
                skips, _SLOTS/_DEPTH override).
   parity_f64_* cross-framework f64 semantic-parity figures from the
                full-pipeline CPU selftest (scripts/real_asset_parity.py;
@@ -403,19 +403,20 @@ def main():
             )[:300]
 
     # 2c) multi-stream serving aggregate rate in the same capture: the
-    #     StreamingBatcher at 16 slots with round pipelining (depth 4) —
-    #     the highest-aggregate operator configuration measured in r5
-    #     (BENCH.md serving table; 91.5 audio-sec/s, 5.7x per-stream
-    #     headroom). The metric string names the exact configuration;
-    #     failure or MSMD_BENCH_SERVING=0 just omits the fields.
+    #     StreamingBatcher at 16 slots with round pipelining (depth 8 —
+    #     the measured knee of the depth curve: 91.5 / 93.2 / 94.4
+    #     audio-sec/s at depths 4/8/16, BENCH.md r5 serving table, at
+    #     ~5 s of output lag). The metric string names the exact
+    #     configuration; failure or MSMD_BENCH_SERVING=0 omits the
+    #     fields.
     if os.environ.get("MSMD_BENCH_SERVING", "1") == "1":
         rc, out, err = _run_sub(
             [sys.executable, os.path.join(_REPO, "benchmarks", "serving_probe.py")],
             float(os.environ.get("MSMD_BENCH_SERVING_TIMEOUT", "1500")),
             extra_env={
                 "MSMD_SERVE_SLOTS": os.environ.get("MSMD_BENCH_SERVING_SLOTS", "16"),
-                "MSMD_SERVE_DEPTH": os.environ.get("MSMD_BENCH_SERVING_DEPTH", "4"),
-                "MSMD_SERVE_ROUNDS": "4",
+                "MSMD_SERVE_DEPTH": os.environ.get("MSMD_BENCH_SERVING_DEPTH", "8"),
+                "MSMD_SERVE_ROUNDS": "8",
             },
         )
         serve = _last_json_line(out) if rc == 0 else None

@@ -47,10 +47,10 @@ def test_orchestrator_field_assembly(monkeypatch, capsys):
         joined = " ".join(cmd)
         if "serving_probe.py" in joined:
             assert (extra_env or {}).get("MSMD_SERVE_SLOTS") == "16"
-            assert (extra_env or {}).get("MSMD_SERVE_DEPTH") == "4"
+            assert (extra_env or {}).get("MSMD_SERVE_DEPTH") == "8"
             return 0, json.dumps({
-                "metric": "StreamingBatcher aggregate (16 slots, bfloat16, pipeline_depth=4)",
-                "value": 91.5, "unit": "audio-seconds/sec", "per_stream_rt": 5.72,
+                "metric": "StreamingBatcher aggregate (16 slots, bfloat16, pipeline_depth=8)",
+                "value": 93.2, "unit": "audio-seconds/sec", "per_stream_rt": 5.82,
             }), ""
         if "real_asset_parity.py" in joined:
             return 0, json.dumps({"aggregate": {"coef_max_err": 3.1e-15, "vertex_mse": 0.0}}), ""
@@ -75,9 +75,9 @@ def test_orchestrator_field_assembly(monkeypatch, capsys):
     line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
     obj = json.loads(line)
     assert obj["value"] == 97.3 and obj["batch1_rtf"] == 52.3
-    assert obj["serving_agg_audio_sec_per_sec"] == 91.5
-    assert obj["serving_per_stream_rt"] == 5.72
-    assert "pipeline_depth=4" in obj["serving_metric"]
+    assert obj["serving_agg_audio_sec_per_sec"] == 93.2
+    assert obj["serving_per_stream_rt"] == 5.82
+    assert "pipeline_depth=8" in obj["serving_metric"]
     assert obj["parity_f64_vertex_mse"] == 0.0
     assert obj["train_mfu_vs_197tflops"] == 0.31
     assert obj["train_mfu_synced"] == 0.25
